@@ -159,23 +159,24 @@ def ap_loss_me(
     thresh3d_pos: float = 5e-3,
     thres3d_neg: float = 0.1,
     temp: float = 0.01,
-    max_pos: int = 4096,
+    max_pos: int = 8192,
 ) -> jnp.ndarray:
     """Smooth-AP loss with distance-derived positives (MEF baseline path).
 
     Matches src/finetune_timm_me.py:199-217: every (i, j) with 3D distance
     < thresh3d_pos is a positive; negatives per source row i are targets with
-    distance > thres3d_neg. The reference gathers a dynamic positive list via
-    torch.nonzero; here we keep a static shape by scoring ALL S*T pairs and
-    taking the mean over the positive mask — identical to the reference mean
-    whenever the number of positives is <= S*T (always), because ap1/ap2 for a
-    pair depend only on (row i, pos_sim_ij) and the mean is order-independent.
+    distance > thres3d_neg; two ranking directions averaged; mean over the
+    positive pairs.
 
-    ap2's rall depends on pos_sim per pair, which would materialize
-    (B, S, T, T); we chunk over source rows to bound memory (max_pos unused in
-    this dense formulation but kept for API stability).
+    The reference gathers a dynamic positive list via torch.nonzero. To stay
+    static-shaped we gather the first `max_pos` positives in row-major order
+    (lax.top_k on the positive mask is stable, so this matches torch.nonzero
+    ordering) and mask the rest. Exact parity whenever the true positive
+    count <= max_pos; beyond that the loss averages the first max_pos
+    positives (documented capacity cap).
     """
-    del max_pos
+    B, S, _ = desc_1.shape
+    T = desc_2.shape[1]
     sim = jnp.einsum("bsc,btc->bst", desc_1, desc_2)  # (B, S, T)
     dist = jnp.linalg.norm(pts3d_1[:, :, None, :] - pts3d_2[:, None, :, :], axis=-1)
 
@@ -187,46 +188,32 @@ def ap_loss_me(
     if valid_2 is not None:
         pos_mask = pos_mask & valid_2[:, None, :]
         neg_mask = neg_mask & valid_2[:, None, :]
-    negf = neg_mask.astype(sim.dtype)
 
-    # ap1: rall depends only on the source row.
-    rpos1 = temp_sigmoid(sim - 1.0, temp) + 1.0                     # (B, S, T)
-    neg_sum1 = jnp.sum(temp_sigmoid(sim - 1.0, temp) * negf, -1)    # (B, S)
-    ap1 = rpos1 / (rpos1 + neg_sum1[:, :, None])
+    P = min(max_pos, S * T)
 
-    # ap2: rall depends on pos_sim of each candidate pair -> chunk over rows.
-    def row_chunk(args):
-        sim_c, negf_c = args  # (B, S_c, T)
-        rpos2 = temp_sigmoid(1.0 - sim_c, temp) + 1.0
-        # (B, S_c, T_pos, T_neg): sigmoid(sim[b,i,t] - pos_sim[b,i,j])
-        diff = sim_c[:, :, None, :] - sim_c[:, :, :, None]
+    def per_batch(sim_b, pos_b, neg_b):
+        flat = pos_b.reshape(-1)
+        vals, idx = jax.lax.top_k(flat.astype(jnp.float32), P)
+        pvalid = vals > 0
+        rows = idx // T
+        cols = idx % T
+        sim_rows = sim_b[rows]                      # (P, T)
+        negf = neg_b[rows].astype(sim_b.dtype)      # (P, T)
+        pos_sim = sim_b[rows, cols]                 # (P,)
+
+        rpos1 = temp_sigmoid(pos_sim - 1.0, temp) + 1.0
+        rall1 = rpos1 + jnp.sum(temp_sigmoid(sim_rows - 1.0, temp) * negf, -1)
+        ap1 = rpos1 / rall1
+
+        rpos2 = temp_sigmoid(1.0 - pos_sim, temp) + 1.0
         rall2 = rpos2 + jnp.sum(
-            temp_sigmoid(diff, temp) * negf_c[:, :, None, :], axis=-1
+            temp_sigmoid(sim_rows - pos_sim[:, None], temp) * negf, -1
         )
-        return rpos2 / rall2
+        ap2 = rpos2 / rall2
 
-    S = sim.shape[1]
-    chunk = _pick_chunk(S, sim.shape[2])
-    if chunk >= S:
-        ap2 = row_chunk((sim, negf))
-    else:
-        n_chunks = S // chunk
-        sim_r = sim[:, : n_chunks * chunk].reshape(sim.shape[0], n_chunks, chunk, -1)
-        negf_r = negf[:, : n_chunks * chunk].reshape(sim.shape[0], n_chunks, chunk, -1)
-        ap2_r = jax.lax.map(
-            row_chunk, (sim_r.transpose(1, 0, 2, 3), negf_r.transpose(1, 0, 2, 3))
-        )
-        ap2 = ap2_r.transpose(1, 0, 2, 3).reshape(sim.shape)
-        if n_chunks * chunk < S:
-            tail = row_chunk((sim[:, n_chunks * chunk :], negf[:, n_chunks * chunk :]))
-            ap2 = jnp.concatenate([ap2[:, : n_chunks * chunk], tail], axis=1)
+        ap = (ap1 + ap2) / 2.0
+        return jnp.sum((1.0 - ap) * pvalid), jnp.sum(pvalid.astype(sim_b.dtype))
 
-    ap = (ap1 + ap2) / 2.0
-    return _masked_mean(1.0 - ap, pos_mask)
-
-
-def _pick_chunk(s: int, t: int, budget_elems: int = 1 << 26) -> int:
-    """Row-chunk size so chunk * T * T stays under ~64M fp32 elements."""
-    per_row = max(1, t * t)
-    c = max(1, budget_elems // per_row)
-    return min(s, c)
+    sums, counts = jax.vmap(per_batch)(sim, pos_mask, neg_mask)
+    total, count = jnp.sum(sums), jnp.sum(counts)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
