@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from gd3d.core.config import StudentConfig
+from gd3d.ops.attention import scaled_dot_attention
 
 
 def torch_linear_init(fan_in: int):
@@ -155,10 +156,8 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
-        scale = head_dim**-0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = scaled_dot_attention(q, k, v, scale=head_dim**-0.5)
+        out = out.reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=True, name="proj")(out)
 
 

@@ -1,0 +1,85 @@
+"""Scaled-dot-product attention dispatch: Pallas flash attention on TPU,
+einsum fallback elsewhere.
+
+The student/teacher transformers never materialize the T^2 attention map on
+the hot path (HBM-bandwidth bound at 6400 tokens); layers that must EXPORT
+attention maps (the teachers' cost-volume taps) use the explicit einsum path
+on those layers only.
+
+Layout convention: q, k, v are (B, N, H, D) (token-major, matching how the
+models unpack qkv); flash kernels want (B, H, N, D) and sequence lengths in
+multiples of 128, handled here by transpose + segment-id padding.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _einsum_sdpa(q, k, v, scale):
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+
+_BLOCK = 512  # measured on v5e: 512-blocks run ~3.8x faster than defaults
+
+
+def _flash_sdpa(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    pad_n = (-N) % _BLOCK
+    pad_m = (-M) % _BLOCK
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, N, D)
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    segment_ids = None
+    if pad_n or pad_m:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad_n), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_m), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_m), (0, 0)))
+        q_seg = (jnp.arange(N + pad_n) < N).astype(jnp.int32)[None]
+        kv_seg = (jnp.arange(M + pad_m) < M).astype(jnp.int32)[None]
+        segment_ids = SegmentIds(
+            q=jnp.broadcast_to(q_seg, (B, N + pad_n)),
+            kv=jnp.broadcast_to(kv_seg, (B, M + pad_m)),
+        )
+    bq = min(_BLOCK, N + pad_n)
+    bk = min(_BLOCK, M + pad_m)
+    block_sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        qt, kt, vt, causal=False, sm_scale=scale,
+        segment_ids=segment_ids, block_sizes=block_sizes,
+    )
+    if pad_n:
+        out = out[:, :, :N]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def scaled_dot_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    force_xla: bool = False,
+) -> jnp.ndarray:
+    """(B, N, H, D) x (B, M, H, D) attention. Flash on TPU, einsum fallback."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if force_xla or jax.default_backend() != "tpu":
+        return _einsum_sdpa(q, k, v, scale)
+    return _flash_sdpa(q, k, v, scale)
