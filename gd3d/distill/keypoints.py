@@ -113,16 +113,24 @@ def merge_corres_static(
     xy1: jnp.ndarray, xy2: jnp.ndarray, valid: jnp.ndarray, HW1: int, HW2: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Unique (xy2, xy1) pairs sorted on xy2-major (merge_corres,
-    fast_nn.py:87-106), static shape: invalid slots sort to the end."""
-    G = xy1.shape[0]
-    key = xy2.astype(jnp.int64) * jnp.int64(HW1) + xy1.astype(jnp.int64)
-    key = jnp.where(valid, key, jnp.int64(HW1) * jnp.int64(HW2) + 1)
-    order = jnp.argsort(key)
-    skey = key[order]
+    fast_nn.py:87-106), static shape: invalid slots sort to the end.
+
+    Lexicographic (xy2, xy1) order via two stable sorts — avoids the int64
+    composite key (xy2 * HW1 + xy1 overflows int32 at 512-res grids and x64
+    is disabled by default in JAX)."""
+    del HW2
+    big1 = jnp.int32(HW1)  # sentinel > any valid linear index
+    k1 = jnp.where(valid, xy1, big1)
+    k2 = jnp.where(valid, xy2, big1)
+    order1 = jnp.argsort(k1, stable=True)
+    k2s = k2[order1]
+    order2 = jnp.argsort(k2s, stable=True)
+    order = order1[order2]
     sxy1 = xy1[order]
     sxy2 = xy2[order]
     svalid = valid[order]
-    uniq = jnp.concatenate([jnp.asarray([True]), skey[1:] != skey[:-1]])
+    same = (sxy1[1:] == sxy1[:-1]) & (sxy2[1:] == sxy2[:-1]) & svalid[:-1]
+    uniq = jnp.concatenate([jnp.asarray([True]), ~same])
     return sxy1, sxy2, svalid & uniq
 
 

@@ -1,0 +1,230 @@
+"""MASt3R -> CLIP-ViT distillation training step (the flagship path).
+
+Parity target: FinetuneMASt3RTIMM.training_step
+(src/finetune_timm_mast3r.py:592-680) —
+  1. frozen MASt3R symmetric inference (attn-map cost volumes, descs, pts3d)
+  2. reciprocal-NN keypoint matching + border/conf filtering
+  3. depth maps from the batch (objaverse) or rasterized from the teacher
+     point cloud + post-processing (scannetpp)
+  4. losses: L1 depth-diff + pairwise logistic ranking (intra-depth), masked
+     cost-volume KL, smooth-AP matching; weighted sum
+  5. AdamW on the adapter-only trainable tree, grad-clip 1.0.
+
+Static-shape design: G = (H/16)*(W/16) keypoint slots with validity masks
+(the reference's dynamic filtering becomes masking); the whole step is ONE
+XLA program per (dataset geometry, has_depth) combination. The teacher's
+attention temperature is a runtime scalar (per-epoch schedule,
+finetune_timm_mast3r.py:217-227) so annealing never recompiles.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gd3d.core.config import DistillConfig
+from gd3d.distill.keypoints import filter_and_match_keypoints
+from gd3d.distill.train_state import TrainState
+from gd3d.models.student import Student, merge_params, resize_bilinear
+from gd3d.ops.basic import l2_normalize
+from gd3d.ops.depth import post_process_depth
+from gd3d.ops.geometry import extract_kp_depth, point_cloud_to_depth
+from gd3d.ops.losses import (
+    _masked_mean,
+    ap_loss_paired,
+    kl_divergence_map,
+    pairwise_logistic_ranking_loss,
+)
+from gd3d.ops.masks import masked_patch_cost, patch_mask_from_kps
+from gd3d.teachers.mast3r import Mast3rTeacher
+
+
+def mast3r_distill_loss(
+    student: Student,
+    teacher: Mast3rTeacher,
+    cfg: DistillConfig,
+    params: dict,
+    teacher_params: dict,
+    batch: Dict[str, jnp.ndarray],
+    temperature,
+    has_depth: bool,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Loss for a batch of B pairs. Batch keys (all NHWC, float32):
+      rgb_1/rgb_2 (B, Hr, Wr, 3) in [0,1]; rgb_mast3r_1/2 (B, H, W, 3) in
+      [-1,1] with W >= H; intrinsic (B, 3, 3); depth_1/depth_2 (B, Hd, Wd)
+      when has_depth.
+    """
+    kcfg = cfg.keypoints
+    ps = cfg.student.patch_size
+    B, H, W, _ = batch["rgb_mast3r_1"].shape
+
+    # 1. frozen teacher
+    feats = teacher.extract_features(
+        teacher_params, batch["rgb_mast3r_1"], batch["rgb_mast3r_2"], temperature
+    )
+
+    # 2. keypoints (per pair)
+    def kp_one(desc1, desc2, conf1, conf2):
+        return filter_and_match_keypoints(
+            {"desc_1": desc1, "desc_2": desc2, "conf_1": conf1, "conf_2": conf2},
+            H, W,
+            subsample=kcfg.nn_subsample,
+            border=kcfg.border,
+            min_conf_percent=kcfg.min_conf_percentile,
+        )
+
+    kp_1, kp_2, valid = jax.vmap(kp_one)(
+        feats["desc_1"], feats["desc_2"], feats["conf_1"], feats["conf_2"]
+    )
+    kp_1 = jax.lax.stop_gradient(kp_1)
+    kp_2 = jax.lax.stop_gradient(kp_2)
+
+    rgb_1_resized = resize_bilinear(batch["rgb_1"], (H, W))
+    rgb_2_resized = resize_bilinear(batch["rgb_2"], (H, W))
+
+    # depth maps (finetune_timm_mast3r.py:617-633)
+    if has_depth:
+        d1 = batch["depth_1"]
+        d2 = batch["depth_2"]
+        if d1.shape[-2:] != (H, W):
+            d1 = resize_bilinear(d1[..., None], (H, W))[..., 0]
+            d2 = resize_bilinear(d2[..., None], (H, W))[..., 0]
+        depth_1, depth_2 = d1, d2
+    else:
+        def raster(pts3d, K):
+            d = point_cloud_to_depth(pts3d.reshape(-1, 3), K, W, H)
+            return post_process_depth(d, kernel_size=3)
+
+        depth_1 = jax.vmap(raster)(feats["pts3d_1"], batch["intrinsic"])
+        depth_2 = jax.vmap(raster)(feats["pts3d_2"], batch["intrinsic"])
+
+    # 3. depth losses (finetune_timm_mast3r.py:472-501)
+    kp_feat_1 = student.get_intermediate_feature(
+        params, rgb_1_resized, kp_1, n=(4, 5, 6, 7)
+    )
+    kp_feat_2 = student.get_intermediate_feature(
+        params, rgb_2_resized, kp_2, n=(4, 5, 6, 7)
+    )
+    kp_depth_1 = jax.vmap(
+        lambda d, kp: extract_kp_depth(d, kp[None], kcfg.depth_window)[0]
+    )(depth_1, kp_1)
+    kp_depth_2 = jax.vmap(
+        lambda d, kp: extract_kp_depth(d, kp[None], kcfg.depth_window)[0]
+    )(depth_2, kp_2)
+
+    pred_depth_diff = student.depth_diff(params, kp_feat_1 - kp_feat_2)
+    gt_diff = jax.lax.stop_gradient(jnp.tanh(kp_depth_1 - kp_depth_2))
+    depth_loss = _masked_mean(jnp.abs(pred_depth_diff - gt_diff), valid)
+
+    score_1 = student.pairwise_score_diff(params, kp_feat_1)
+    score_2 = student.pairwise_score_diff(params, kp_feat_2)
+    intra_1 = pairwise_logistic_ranking_loss(
+        score_1, kp_depth_1, kcfg.depth_rank_threshold, valid
+    )
+    intra_2 = pairwise_logistic_ranking_loss(
+        score_2, kp_depth_2, kcfg.depth_rank_threshold, valid
+    )
+    intra_depth_loss = (intra_1 + intra_2) / 2.0
+
+    # 4. cost-volume KL (finetune_timm_mast3r.py:504-540)
+    fc_1 = student.get_feature_cost(params, rgb_1_resized, normalize=False)
+    fc_2 = student.get_feature_cost(params, rgb_2_resized, normalize=False)
+    hw = (H // ps) * (W // ps)
+    fc_1 = l2_normalize(fc_1.reshape(B, hw, -1), axis=-1)
+    fc_2 = l2_normalize(fc_2.reshape(B, hw, -1), axis=-1)
+    cost_12 = jnp.einsum("bnc,bmc->bnm", fc_1, fc_2)
+    cost_21 = jnp.einsum("bnc,bmc->bnm", fc_2, fc_1)
+
+    def mask_one(kp, v):
+        return patch_mask_from_kps(kp, H, W, ps, valid=v)
+
+    mask_1 = jax.vmap(mask_one)(kp_1, valid)
+    mask_2 = jax.vmap(mask_one)(kp_2, valid)
+
+    mcost_t1 = jax.vmap(lambda c, m: masked_patch_cost(c[None], m)[0])(
+        feats["cost_1"], mask_1
+    )
+    mcost_t2 = jax.vmap(lambda c, m: masked_patch_cost(c[None], m)[0])(
+        feats["cost_2"], mask_2
+    )
+    mcost_s1 = jax.vmap(
+        lambda c, m: masked_patch_cost(c[None], m, use_softmax=True)[0]
+    )(cost_12, mask_1)
+    mcost_s2 = jax.vmap(
+        lambda c, m: masked_patch_cost(c[None], m, use_softmax=True)[0]
+    )(cost_21, mask_2)
+
+    kl_loss = (
+        kl_divergence_map(mcost_t1, mcost_s1) + kl_divergence_map(mcost_t2, mcost_s2)
+    ) / 2.0
+
+    # 5. matching AP loss (finetune_timm_mast3r.py:543-589)
+    desc_1 = student.get_feature(params, rgb_1_resized, kp_1, normalize=True)
+    desc_2 = student.get_feature(params, rgb_2_resized, kp_2, normalize=True)
+
+    def gather_pts(pts3d, kp):
+        x = jnp.clip(kp[:, 0].astype(jnp.int32), 0, W - 1)
+        y = jnp.clip(kp[:, 1].astype(jnp.int32), 0, H - 1)
+        return pts3d[y, x]
+
+    pts3d_1 = jax.vmap(gather_pts)(feats["pts3d_1"], kp_1)
+    pts3d_2 = jax.vmap(gather_pts)(feats["pts3d_2_from_1"], kp_2)
+    ap_loss = ap_loss_paired(
+        desc_1, desc_2, pts3d_1, pts3d_2, valid,
+        thres3d_neg=kcfg.thres3d_neg, temp=kcfg.ap_sigmoid_temp,
+    )
+
+    w = cfg.loss_weights
+    loss = (
+        w.ap * ap_loss
+        + w.depth * depth_loss
+        + w.intra_depth * intra_depth_loss
+        + w.kl * kl_loss
+    )
+    metrics = {
+        "loss": loss,
+        "ap_loss": ap_loss,
+        "depth_loss": depth_loss,
+        "intra_depth_loss": intra_depth_loss,
+        "kl_loss": kl_loss,
+        "num_kps": jnp.sum(valid.astype(jnp.float32)) / B,
+    }
+    return loss, metrics
+
+
+def build_mast3r_train_step(
+    student: Student,
+    teacher: Mast3rTeacher,
+    cfg: DistillConfig,
+    tx: optax.GradientTransformation,
+    has_depth: bool,
+) -> Callable:
+    def train_step(state: TrainState, frozen, teacher_params, batch, temperature):
+        def loss_fn(trainable):
+            params = merge_params(trainable, frozen)
+            return mast3r_distill_loss(
+                student, teacher, cfg, params, teacher_params, batch,
+                temperature, has_depth,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        return (
+            TrainState(step=state.step + 1, trainable=trainable,
+                       opt_state=opt_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def temperature_schedule(cfg: DistillConfig, epoch: int) -> float:
+    """init -> final linear over max_epochs (finetune_timm_mast3r.py:217-224)."""
+    t = cfg.train
+    ratio = min(epoch / max(t.max_epochs, 1), 1.0)
+    return t.init_temperature * (1 - ratio) + t.final_temperature * ratio
