@@ -1,0 +1,191 @@
+"""VGGT -> CLIP-ViT distillation training step.
+
+Parity target: FinetuneVGGTTIMM.training_step
+(src/finetune_timm_vggt.py:577-648) —
+  1. frozen VGGT inference: aggregator cost volumes, camera->extri/intri,
+     depth maps, depth-unprojected world point maps
+  2. keypoints: co-view masks -> NMS sampling on view-1 confidence ->
+     track-head correspondence to view 2 -> border filter
+  3. losses: L1 depth-diff + pairwise ranking on VGGT depth maps, co-view
+     masked cost-volume KL (student cost at the /14-grid, plain softmax then
+     row-normalized like the teacher's — finetune_timm_vggt.py:519-533),
+     smooth-AP on world-point distances. All weights 1.0.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gd3d.core.config import DistillConfig
+from gd3d.distill.train_state import TrainState
+from gd3d.models.student import Student, merge_params, resize_bilinear
+from gd3d.ops.basic import l2_normalize
+from gd3d.ops.geometry import extract_kp_depth
+from gd3d.ops.losses import (
+    _masked_mean,
+    ap_loss_paired,
+    kl_divergence_map,
+    pairwise_logistic_ranking_loss,
+)
+from gd3d.ops.masks import masked_patch_cost
+from gd3d.teachers.vggt import VggtTeacher
+
+
+def _nearest_downsample_mask(mask: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """F.interpolate(mode='nearest') of a bool (H, W) mask to (ph, pw)."""
+    H, W = mask.shape
+    ys = (jnp.arange(ph) * (H / ph)).astype(jnp.int32)
+    xs = (jnp.arange(pw) * (W / pw)).astype(jnp.int32)
+    return mask[ys][:, xs]
+
+
+def vggt_distill_loss(
+    student: Student,
+    teacher: VggtTeacher,
+    cfg: DistillConfig,
+    params: dict,
+    teacher_params: dict,
+    batch: Dict[str, jnp.ndarray],
+    temperature,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """batch: rgb_1/rgb_2 (B, Hr, Wr, 3) [0,1]; rgb_vggt (B, 2, H, W, 3)."""
+    kcfg = cfg.keypoints
+    B, S, H, W, _ = batch["rgb_vggt"].shape
+    vp = teacher.cfg.patch_size
+    ph, pw = H // vp, W // vp
+
+    feats = teacher.extract_features(teacher_params, batch["rgb_vggt"], temperature)
+    kp_1, kp_2, valid, mask_1, mask_2 = teacher.sample_keypoints(
+        teacher_params, feats, batch["rgb_vggt"], rng,
+        num_keypoints=kcfg.nms_num, min_distance=kcfg.nms_min_distance,
+        border=kcfg.border, temperature=temperature,
+    )
+    kp_1 = jax.lax.stop_gradient(kp_1)
+    kp_2 = jax.lax.stop_gradient(kp_2)
+
+    rgb_1_resized = resize_bilinear(batch["rgb_1"], (H, W))
+    rgb_2_resized = resize_bilinear(batch["rgb_2"], (H, W))
+
+    # depth losses on the VGGT depth maps (finetune_timm_vggt.py:465-486)
+    kp_feat_1 = student.get_intermediate_feature(
+        params, rgb_1_resized, kp_1, n=(4, 5, 6, 7)
+    )
+    kp_feat_2 = student.get_intermediate_feature(
+        params, rgb_2_resized, kp_2, n=(4, 5, 6, 7)
+    )
+    kp_depth_1 = jax.vmap(
+        lambda d, kp: extract_kp_depth(d, kp[None], kcfg.depth_window)[0]
+    )(feats["depth_pred_1"], kp_1)
+    kp_depth_2 = jax.vmap(
+        lambda d, kp: extract_kp_depth(d, kp[None], kcfg.depth_window)[0]
+    )(feats["depth_pred_2"], kp_2)
+
+    pred_depth_diff = student.depth_diff(params, kp_feat_1 - kp_feat_2)
+    gt_diff = jax.lax.stop_gradient(jnp.tanh(kp_depth_1 - kp_depth_2))
+    depth_loss = _masked_mean(jnp.abs(pred_depth_diff - gt_diff), valid)
+
+    intra_1 = pairwise_logistic_ranking_loss(
+        student.pairwise_score_diff(params, kp_feat_1), kp_depth_1,
+        kcfg.depth_rank_threshold, valid,
+    )
+    intra_2 = pairwise_logistic_ranking_loss(
+        student.pairwise_score_diff(params, kp_feat_2), kp_depth_2,
+        kcfg.depth_rank_threshold, valid,
+    )
+    intra_depth_loss = (intra_1 + intra_2) / 2.0
+
+    # cost KL at the /14 grid (finetune_timm_vggt.py:488-533)
+    fc_1 = student.get_feature_cost_vggt(params, rgb_1_resized, vp)
+    fc_2 = student.get_feature_cost_vggt(params, rgb_2_resized, vp)
+    hw = ph * pw
+    fc_1 = l2_normalize(fc_1.reshape(B, hw, -1), axis=-1)
+    fc_2 = l2_normalize(fc_2.reshape(B, hw, -1), axis=-1)
+    cost_12 = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", fc_1, fc_2), axis=-1)
+    cost_21 = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", fc_2, fc_1), axis=-1)
+
+    mp_1 = jax.vmap(lambda m: _nearest_downsample_mask(m, ph, pw).reshape(-1))(
+        mask_1
+    )
+    mp_2 = jax.vmap(lambda m: _nearest_downsample_mask(m, ph, pw).reshape(-1))(
+        mask_2
+    )
+
+    def rownorm(c, m):
+        return masked_patch_cost(c[None], m)[0]
+
+    kl_loss = (
+        kl_divergence_map(
+            jax.vmap(rownorm)(feats["cost_1"], mp_1),
+            jax.vmap(rownorm)(cost_12, mp_1),
+        )
+        + kl_divergence_map(
+            jax.vmap(rownorm)(feats["cost_2"], mp_2),
+            jax.vmap(rownorm)(cost_21, mp_2),
+        )
+    ) / 2.0
+
+    # matching AP on world points (finetune_timm_vggt.py:536-575)
+    desc_1 = student.get_feature(params, rgb_1_resized, kp_1, normalize=True)
+    desc_2 = student.get_feature(params, rgb_2_resized, kp_2, normalize=True)
+
+    def gather_pts(pts3d, kp):
+        x = jnp.clip(kp[:, 0].astype(jnp.int32), 0, W - 1)
+        y = jnp.clip(kp[:, 1].astype(jnp.int32), 0, H - 1)
+        return pts3d[y, x]
+
+    pts3d_1 = jax.vmap(gather_pts)(feats["point_map_view_1"], kp_1)
+    pts3d_2 = jax.vmap(gather_pts)(feats["point_map_view_2"], kp_2)
+    ap_loss = ap_loss_paired(
+        desc_1, desc_2, pts3d_1, pts3d_2, valid,
+        thres3d_neg=kcfg.thres3d_neg, temp=kcfg.ap_sigmoid_temp,
+    )
+
+    w = cfg.loss_weights
+    loss = (
+        w.ap * ap_loss
+        + w.depth * depth_loss
+        + w.intra_depth * intra_depth_loss
+        + w.kl * kl_loss
+    )
+    metrics = {
+        "loss": loss,
+        "ap_loss": ap_loss,
+        "depth_loss": depth_loss,
+        "intra_depth_loss": intra_depth_loss,
+        "kl_loss": kl_loss,
+        "num_kps": jnp.sum(valid.astype(jnp.float32)) / B,
+    }
+    return loss, metrics
+
+
+def build_vggt_train_step(
+    student: Student,
+    teacher: VggtTeacher,
+    cfg: DistillConfig,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    def train_step(state: TrainState, frozen, teacher_params, batch,
+                   temperature, rng):
+        def loss_fn(trainable):
+            params = merge_params(trainable, frozen)
+            return vggt_distill_loss(
+                student, teacher, cfg, params, teacher_params, batch,
+                temperature, rng,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        return (
+            TrainState(step=state.step + 1, trainable=trainable,
+                       opt_state=opt_state),
+            metrics,
+        )
+
+    return train_step

@@ -213,6 +213,30 @@ class Student:
         feat = jnp.stack(feats, 0).mean(0)
         return feat.reshape(B, H // ps, W // ps, self.cfg.embed_dim)
 
+    def get_feature_cost_vggt(
+        self,
+        params: dict,
+        rgbs: jnp.ndarray,
+        vggt_patch: int = 14,
+        layer: int = 7,
+        normalize: bool = False,
+    ) -> jnp.ndarray:
+        """VGGT-variant cost features (src/finetune_timm_vggt.py:325-355):
+        the patch-grid COUNT follows the teacher's /14 grid, the student
+        resizes to grid*16 and taps intermediate layer [7] only."""
+        B, H, W, _ = rgbs.shape
+        ph, pw = H // vggt_patch, W // vggt_patch
+        ps = self.cfg.patch_size
+        resized = resize_bilinear(rgbs, (ph * ps, pw * ps))
+        out = self.forward_tokens(
+            params, normalize_img(resized), take_indices=(layer,),
+            final_tokens=False,
+        )["intermediates"][0]
+        if normalize:
+            out = self.apply_norm(params, out)
+        out = out[:, self.cfg.num_prefix_tokens :]
+        return out.reshape(B, ph, pw, self.cfg.embed_dim)
+
     def get_intermediate_feature(
         self,
         params: dict,

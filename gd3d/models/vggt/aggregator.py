@@ -1,0 +1,124 @@
+"""VGGT Aggregator: 24x alternating (frame, global) attention with
+cross-frame cost-volume export.
+
+Parity target: vggt/models/aggregator.py:24-349 — DINOv2 patchify, one
+camera + 4 register tokens per frame (first-frame vs rest variants,
+slice_expand_and_flatten :326-349), RoPE positions shifted +1 with zeros for
+special tokens, frame attention over (B*S, P) and global attention over
+(B, S*P); the fork returns cross-frame attention maps from the global blocks
+at `attn_indices`, layer-meaned.
+
+TPU notes: the S*P global-attention axis is the long-sequence dimension
+(SURVEY.md §5); at S=2 it is replicated, the `model` mesh axis TP-shards the
+qkv/MLP kernels instead (gd3d.parallel). The aggregator runs in bf16 under
+the teacher precision policy (finetune_timm_vggt.py:359) with fp32 heads.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gd3d.models.vggt.config import VggtConfig
+from gd3d.models.vggt.dinov2 import DinoV2
+from gd3d.models.vggt.layers import VggtBlock
+from gd3d.ops.rope2d import grid_positions
+
+_RESNET_MEAN = (0.485, 0.456, 0.406)
+_RESNET_STD = (0.229, 0.224, 0.225)
+
+
+class Aggregator(nn.Module):
+    cfg: VggtConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        temperature=1.0,
+        attn_indices: Optional[Tuple[int, ...]] = None,
+    ):
+        """images (B, S, H, W, 3) in [0, 1]. Returns (tokens_list, attn_mean)
+        where tokens_list has `depth` entries (B, S, P, 2C) and attn_mean is
+        (2B, Pp, Pp) — head- and layer-meaned cross-frame attention."""
+        cfg = self.cfg
+        B, S, H, W, _ = images.shape
+        C = cfg.embed_dim
+        ps = cfg.patch_size
+        gh, gw = H // ps, W // ps
+
+        mean = jnp.asarray(_RESNET_MEAN, images.dtype)
+        std = jnp.asarray(_RESNET_STD, images.dtype)
+        x = (images - mean) / std
+        x = x.reshape(B * S, H, W, 3)
+
+        patch_tokens = DinoV2(cfg, name="patch_embed")(x)  # (B*S, P, C)
+        P_patch = patch_tokens.shape[1]
+
+        camera_token = self.param(
+            "camera_token", nn.initializers.normal(1e-6), (1, 2, 1, C)
+        )
+        register_token = self.param(
+            "register_token", nn.initializers.normal(1e-6),
+            (1, 2, cfg.num_register_tokens, C),
+        )
+
+        def slice_expand_flatten(tok):
+            # aggregator.py:326-349: slot 0 for frame 0, slot 1 for the rest
+            first = jnp.broadcast_to(tok[:, 0:1], (B, 1) + tok.shape[2:])
+            rest = jnp.broadcast_to(tok[:, 1:2], (B, S - 1) + tok.shape[2:])
+            comb = jnp.concatenate([first, rest], axis=1)
+            return comb.reshape((B * S,) + tok.shape[2:])
+
+        tokens = jnp.concatenate(
+            [
+                slice_expand_flatten(camera_token).astype(patch_tokens.dtype),
+                slice_expand_flatten(register_token).astype(patch_tokens.dtype),
+                patch_tokens,
+            ],
+            axis=1,
+        )  # (B*S, P, C)
+        P = tokens.shape[1]
+        psi = cfg.patch_start_idx
+
+        # RoPE positions: +1 shift, zeros for special tokens (aggregator.py:236-239)
+        pos_patch = grid_positions(gh, gw, B * S) + 1
+        pos_special = jnp.zeros((B * S, psi, 2), pos_patch.dtype)
+        pos = jnp.concatenate([pos_special, pos_patch], axis=1)  # (B*S, P, 2)
+
+        if attn_indices is None:
+            attn_indices = tuple(range(cfg.depth))
+
+        output_list: List[jnp.ndarray] = []
+        attn_maps = []
+        for i in range(cfg.depth):
+            # frame attention: (B*S, P, C)
+            tokens = tokens.reshape(B * S, P, C)
+            tokens, _ = VggtBlock(
+                C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
+                qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
+                eps=cfg.layernorm_eps, name=f"frame_blocks_{i}",
+            )(tokens, pos=pos)
+            frame_inter = tokens.reshape(B, S, P, C)
+
+            # global attention: (B, S*P, C)
+            gtokens = tokens.reshape(B, S * P, C)
+            gpos = pos.reshape(B, S * P, 2)
+            want_attn = i in attn_indices
+            gtokens, amap = VggtBlock(
+                C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
+                qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
+                eps=cfg.layernorm_eps, name=f"global_blocks_{i}",
+            )(gtokens, pos=gpos, return_attn=want_attn, temperature=temperature)
+            if want_attn:
+                attn_maps.append(amap)
+            tokens = gtokens.reshape(B * S, P, C)
+            global_inter = gtokens.reshape(B, S, P, C)
+
+            output_list.append(
+                jnp.concatenate([frame_inter, global_inter], axis=-1)
+            )
+
+        attn_mean = jnp.mean(jnp.stack(attn_maps, 0), axis=0) if attn_maps else None
+        return output_list, attn_mean

@@ -1,0 +1,67 @@
+"""Full VGGT model: aggregator + camera/depth/point/track heads.
+
+Parity target: vggt/models/vggt.py:17-96. Heads run in fp32 even when the
+aggregator computes in bf16 (the reference's autocast(enabled=False) block,
+vggt.py:66; finetune_timm_vggt.py:359-372).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gd3d.models.vggt.aggregator import Aggregator
+from gd3d.models.vggt.config import VggtConfig
+from gd3d.models.vggt.heads import CameraHead, VggtDPTHead
+from gd3d.models.vggt.track import TrackHead
+
+
+class Vggt(nn.Module):
+    cfg: VggtConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.aggregator = Aggregator(cfg, name="aggregator")
+        self.camera_head = CameraHead(cfg, name="camera_head")
+        self.depth_head = VggtDPTHead(
+            cfg, output_dim=2, activation="exp", conf_activation="expp1",
+            name="depth_head",
+        )
+        self.point_head = VggtDPTHead(
+            cfg, output_dim=4, activation="inv_log", conf_activation="expp1",
+            name="point_head",
+        )
+        self.track_head = TrackHead(cfg, name="track_head")
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        temperature=1.0,
+        query_points: Optional[jnp.ndarray] = None,
+        run_track: bool = False,
+    ) -> Dict:
+        """images (B, S, H, W, 3) in [0, 1]."""
+        B, S, H, W, _ = images.shape
+        tokens_list, attn = self.aggregator(images, temperature=temperature)
+        tokens_f32 = [t.astype(jnp.float32) for t in tokens_list]
+
+        out: Dict = {"attn": attn}
+        out["pose_enc"] = self.camera_head(
+            tokens_f32[-1], num_iterations=self.cfg.camera_iterations
+        )
+        depth, depth_conf = self.depth_head(tokens_f32, (H, W))
+        out["depth"] = depth          # (B, S, H, W, 1)
+        out["depth_conf"] = depth_conf
+        pts, pts_conf = self.point_head(tokens_f32, (H, W))
+        out["world_points"] = pts
+        out["world_points_conf"] = pts_conf
+        if run_track and query_points is not None:
+            coords, vis, conf = self.track_head(
+                tokens_f32, (H, W), query_points
+            )
+            out["track"] = coords[-1]
+            out["vis"] = vis
+            out["track_conf"] = conf
+        return out

@@ -53,14 +53,30 @@ def _cubic_kernel(x: float, a: float = -0.75) -> float:
     return 0.0
 
 
-def _bicubic_resize_matrix(in_size: int, out_size: int):
+def _bicubic_resize_matrix(in_size: int, out_size: int, antialias: bool = False):
     """(out, in) interpolation matrix matching torch F.interpolate(bicubic,
-    align_corners=False, antialias=False): half-pixel sampling, border taps
-    replicated (clamped). Built host-side with numpy — shapes are static."""
+    align_corners=False): half-pixel sampling, border taps replicated.
+    With antialias=True and downscaling, the kernel is stretched by the scale
+    factor and weights renormalized (torch's antialiased path). Built
+    host-side with numpy — shapes are static."""
     import numpy as np
 
     W = np.zeros((out_size, in_size), np.float32)
     scale = in_size / out_size
+    if antialias and scale > 1.0:
+        support = 2.0 * scale
+        for o in range(out_size):
+            center = (o + 0.5) * scale - 0.5
+            lo = int(np.floor(center - support)) + 1
+            hi = int(np.floor(center + support)) + 1
+            taps = range(lo, hi)
+            ws = np.array([_cubic_kernel((t - center) / scale) for t in taps])
+            s = ws.sum()
+            if s > 0:
+                ws = ws / s
+            for t, w in zip(taps, ws):
+                W[o, min(max(t, 0), in_size - 1)] += w
+        return W
     for o in range(out_size):
         src = (o + 0.5) * scale - 0.5
         f = int(np.floor(src))
