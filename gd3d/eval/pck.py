@@ -1,0 +1,198 @@
+"""PF-PASCAL semantic-transfer PCK evaluation (CPU-runnable).
+
+Parity target: src/evaluate_timm.py:351-588 — square-canvas resize to 640,
+padded keypoints, dense student features (ImageNet normalization,
+refine_conv when present), target features bilinearly upsampled
+(align_corners=True) to the patch-center grid and edge-padded back to 640^2,
+source keypoint features sampled with patch-center alignment, argmax over
+640^2 similarities, PCK@{0.05,0.10,0.15}*640 per category + weighted mean.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from gd3d.models.dpt import resize_bilinear_ac
+from gd3d.models.student import Student
+from gd3d.ops.interpolate import interpolate_features
+
+PASCAL_CATEGORIES = [
+    "aeroplane", "bicycle", "bird", "boat", "bottle",
+    "bus", "car", "cat", "chair", "cow",
+    "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+CATEGORY_WEIGHTS = [15, 30, 10, 6, 8, 32, 19, 27, 13, 3,
+                    8, 24, 9, 27, 12, 7, 1, 13, 20, 15]
+
+
+def preprocess_kps_pad(kps: np.ndarray, w: int, h: int, size: int):
+    """utils/functions.py:144-166: rescale + center-offset padded keypoints."""
+    kps = kps.copy()
+    scale = size / max(w, h)
+    kps[:, :2] *= scale
+    if h < w:
+        new_h = int(np.around(size * h / w))
+        kps[:, 1] += (size - new_h) // 2
+    elif w < h:
+        new_w = int(np.around(size * w / h))
+        kps[:, 0] += (size - new_w) // 2
+    kps *= kps[:, 2:3].copy()  # zero out non-visible
+    return kps
+
+
+def resize_to_canvas(img: Image.Image, target_res: int) -> np.ndarray:
+    """src/evaluate_timm.py:351-396 (edge=False): black square canvas."""
+    w, h = img.size
+    canvas = np.zeros((target_res, target_res, 3), np.uint8)
+    if h <= w:
+        img = img.resize(
+            (target_res, int(np.around(target_res * h / w))),
+            Image.Resampling.LANCZOS,
+        )
+        w2, h2 = img.size
+        canvas[(w2 - h2) // 2 : (w2 + h2) // 2] = np.asarray(img)
+    else:
+        img = img.resize(
+            (int(np.around(target_res * w / h)), target_res),
+            Image.Resampling.LANCZOS,
+        )
+        w2, h2 = img.size
+        canvas[:, (h2 - w2) // 2 : (h2 + w2) // 2] = np.asarray(img)
+    return canvas
+
+
+def load_pascal_pairs(
+    path: str, size: int, category: str, same_view: bool
+) -> Tuple[List[str], np.ndarray]:
+    """src/evaluate_timm.py:399-458."""
+    csv = f"{path}/test_pairs_pf_{'same' if same_view else 'different'}_views.csv"
+    data = pd.read_csv(csv)
+    cls_ids = data.iloc[:, 2].values.astype(int) - 1
+    cat_id = PASCAL_CATEGORIES.index(category)
+    subset = data.iloc[np.where(cls_ids == cat_id)[0], :]
+
+    def get_points(series, idx):
+        X = np.fromstring(series.iloc[idx, 0], sep=";")
+        Y = np.fromstring(series.iloc[idx, 1], sep=";")
+        Xpad = -np.ones(20)
+        Ypad = -np.ones(20)
+        Zmask = np.zeros(20)
+        Xpad[: len(X)] = X
+        Ypad[: len(X)] = Y
+        Zmask[: len(X)] = 1
+        return np.stack([Xpad, Ypad, Zmask], axis=1).astype(np.float32)
+
+    files, kps = [], []
+    pA = subset.iloc[:, 3:5]
+    pB = subset.iloc[:, 5:]
+    for i in range(len(subset)):
+        for names, pts in ((subset.iloc[i, 0], get_points(pA, i)),
+                           (subset.iloc[i, 1], get_points(pB, i))):
+            fn = f"{path}/../{names}"
+            im_size = Image.open(fn).size
+            kp = preprocess_kps_pad(pts, im_size[0], im_size[1], size)
+            files.append(fn)
+            kps.append(kp)
+    kps = np.stack(kps)
+    used = np.where(kps[:, :, 2].any(axis=0))[0]
+    return files, kps[:, used, :]
+
+
+def dense_eval_features(
+    student: Student, params: dict, img_canvas: np.ndarray, refine: bool = True
+) -> jnp.ndarray:
+    """Dense 640-canvas features: (1, ph, pw, C)."""
+    x = jnp.asarray(img_canvas[None].astype(np.float32) / 255.0)
+    return student.dense_grid_features(params, x, refine=refine)
+
+
+def match_pair(
+    student: Student,
+    params: dict,
+    img1: np.ndarray,
+    img2: np.ndarray,
+    kps1: np.ndarray,
+    img_size: int = 640,
+    refine: bool = True,
+) -> np.ndarray:
+    """Predict img2 positions for img1 keypoints (evaluate_timm.py:516-547)."""
+    ps = student.cfg.patch_size
+    d1 = dense_eval_features(student, params, img1, refine)
+    d2 = dense_eval_features(student, params, img2, refine)
+
+    ds_size = ((img_size - ps) // ps) * ps + 1
+    d2_up = resize_bilinear_ac(d2, (ds_size, ds_size))
+    pad_l = ps // 2
+    pad_r = img_size - ds_size - pad_l
+    d2_full = jnp.pad(
+        d2_up, ((0, 0), (pad_l, pad_r), (pad_l, pad_r), (0, 0)), mode="edge"
+    )  # (1, 640, 640, C)
+
+    kp_desc = interpolate_features(
+        d1.transpose(0, 3, 1, 2), jnp.asarray(kps1[None, :, :2]),
+        h=img_size, w=img_size, normalize=True, patch_size=ps, stride=ps,
+    )  # (1, C, N)
+    sim = jnp.einsum(
+        "cn,hwc->nhw", kp_desc[0], d2_full[0]
+    ).reshape(kps1.shape[0], -1)
+    nn_idx = jnp.argmax(sim, axis=1)
+    nn_x = nn_idx % img_size
+    nn_y = nn_idx // img_size
+    return np.stack([np.asarray(nn_x), np.asarray(nn_y)], axis=1)
+
+
+def semantic_transfer(
+    student: Student,
+    params: dict,
+    data_path: str,
+    categories: Optional[Sequence[str]] = None,
+    same_view: bool = False,
+    img_size: int = 640,
+    refine: bool = True,
+    alphas: Sequence[float] = (0.1, 0.05, 0.15),
+) -> pd.DataFrame:
+    """Full PCK table (evaluate_timm.py:461-588)."""
+    categories = list(categories or PASCAL_CATEGORIES)
+    rows = {f"PCK{a:.2f}".replace("PCK0.10", "PCK0.10"): [] for a in alphas}
+    results = {a: [] for a in alphas}
+    for cat in categories:
+        files, kps = load_pascal_pairs(data_path, img_size, cat, same_view)
+        gt_all, pred_all = [], []
+        for pair_idx in range(len(files) // 2):
+            img1 = resize_to_canvas(
+                Image.open(files[2 * pair_idx]).convert("RGB"), img_size
+            )
+            img2 = resize_to_canvas(
+                Image.open(files[2 * pair_idx + 1]).convert("RGB"), img_size
+            )
+            k1 = kps[2 * pair_idx]
+            k2 = kps[2 * pair_idx + 1]
+            vis = k1[:, 2] * k2[:, 2] > 0
+            pred = match_pair(student, params, img1, img2, k1, img_size, refine)
+            gt_all.append(k2[vis][:, [1, 0]])
+            pred_all.append(pred[vis][:, [1, 0]])
+        gt = np.concatenate(gt_all, 0)
+        pred = np.concatenate(pred_all, 0)
+        err = np.linalg.norm(pred - gt, axis=-1)
+        for a in alphas:
+            results[a].append(float((err < a * img_size).mean()))
+
+    df = pd.DataFrame(
+        {
+            "PCK0.05": results[0.05],
+            "PCK0.10": results[0.1],
+            "PCK0.15": results[0.15],
+        }
+    )
+    df["categories"] = categories
+    df.set_index(["categories"], inplace=True)
+    weights = CATEGORY_WEIGHTS[: len(categories)]
+    for col in ("PCK0.05", "PCK0.10", "PCK0.15"):
+        df[f"Weighted {col}"] = np.average(df[col], weights=weights)
+    return df

@@ -1,0 +1,118 @@
+"""TAP-Vid DAVIS tracking evaluation driver.
+
+Parity target: src/evaluate_timm.py:234-348 — 476x854 frames (cropped to
+/16), per-frame dense features at stride = patch/2 with the pos-enc fix,
+refine_conv, DINO-Tracker inference (cos thresholds 0.7/0.6, argmax radius
+35), strided TAP-Vid metrics per video.
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from gd3d.eval.tracker import TrackerConfig, infer_tracks
+from gd3d.eval.tracking_metrics import compute_tapvid_metrics_for_video
+from gd3d.models.student import Student
+
+
+def video_features(
+    student: Student,
+    params: dict,
+    frames: np.ndarray,
+    refine: bool = True,
+) -> np.ndarray:
+    """frames (T, H, W, 3) float [0,1] -> (T, gh, gw, C) stride-(patch/2)
+    features (evaluate_timm.py:259-281)."""
+    ps = student.cfg.patch_size
+    stride = ps // 2
+    feats = []
+    for t in range(frames.shape[0]):
+        g = student.dense_grid_features(
+            params, jnp.asarray(frames[t : t + 1]), stride=stride,
+            refine=refine,
+        )
+        feats.append(np.asarray(g[0]))
+    return np.stack(feats)
+
+
+def load_video_frames(video_dir: str, h: int, w: int) -> np.ndarray:
+    imgs = []
+    for fn in sorted(Path(video_dir).glob("*.jpg")):
+        imgs.append(
+            np.asarray(Image.open(fn).resize((w, h), Image.LANCZOS))
+        )
+    return np.stack(imgs).astype(np.float32) / 255.0
+
+
+def tracking_single(
+    student: Student,
+    params: dict,
+    video_id: int,
+    benchmark_config: Dict,
+    video_root: str = "data/davis_480",
+    refine: bool = True,
+    size_hw=(476, 854),
+) -> Dict[str, float]:
+    ps = student.cfg.patch_size
+    h = size_hw[0] // ps * ps
+    w = size_hw[1] // ps * ps
+
+    frames = load_video_frames(f"{video_root}/{video_id}/video", h, w)
+    feats = video_features(student, params, frames, refine)
+
+    for vc in benchmark_config["videos"]:
+        if vc["video_idx"] == video_id:
+            video_config = vc
+            break
+    rx = w / video_config["w"]
+    ry = h / video_config["h"]
+
+    cfg = TrackerConfig(
+        patch_size=ps, stride=ps // 2, video_h=h, video_w=w
+    )
+    trajectories_dict, occlusions_dict = {}, {}
+    for frame_idx in sorted(video_config["query_points"].keys()):
+        qpts = np.array(
+            [
+                [rx * q[0], ry * q[1], frame_idx]
+                for q in video_config["query_points"][frame_idx]
+            ],
+            np.float32,
+        )
+        trajs, occ = infer_tracks(feats, qpts, cfg)
+        trajectories_dict[frame_idx] = trajs
+        occlusions_dict[frame_idx] = occ
+
+    metrics = compute_tapvid_metrics_for_video(
+        trajectories_dict, occlusions_dict, benchmark_config, video_id,
+        pred_video_sizes=[w, h],
+    )
+    metrics["video_idx"] = int(video_id)
+    return metrics
+
+
+def tracking(
+    student: Student,
+    params: dict,
+    num_videos: int = 30,
+    benchmark_pkl: str = "data/tapvid_davis_data_strided.pkl",
+    video_root: str = "data/davis_480",
+    refine: bool = True,
+) -> pd.DataFrame:
+    with open(benchmark_pkl, "rb") as f:
+        benchmark_config = pickle.load(f)
+    rows = [
+        tracking_single(
+            student, params, vid, benchmark_config, video_root, refine
+        )
+        for vid in range(num_videos)
+    ]
+    df = pd.DataFrame(rows)
+    df.set_index(["video_idx"], inplace=True)
+    return df
