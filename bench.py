@@ -1,12 +1,13 @@
-"""Benchmark: distillation-step throughput on the real TPU chip.
+"""Benchmark: flagship MASt3R-distillation step throughput on the real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Current flagship benchmark: the ME (teacher-free) distillation step on the
-full ViT-B/16 student at Objaverse shapes — 2 student forwards at the
-effective-stride-8 resolution + smooth-AP loss + adapter-only AdamW update,
-matching src/finetune_timm_me.py:191-220. vs_baseline is measured against
-BASELINE.json's north-star 2000 pairs/s/chip target.
+The step matches FinetuneMASt3RTIMM.training_step at ScanNet++ geometry
+(512x336 teacher frames, 512^2 student frames): frozen MASt3R ViT-L
+symmetric inference with cost-volume export, on-device reciprocal-NN
+keypoint pipeline, 6 student forwards (ViT-B at effective stride 8) + the
+three distillation losses + adapter-only AdamW update. vs_baseline is the
+ratio against BASELINE.json's 2000 pairs/s/chip north star.
 """
 from __future__ import annotations
 
@@ -22,44 +23,48 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from gd3d.core.config import DistillConfig, StudentConfig
-    from gd3d.data.synthetic import synthetic_me_batch
-    from gd3d.distill import build_me_train_step, make_optimizer
+    from gd3d.core.config import DistillConfig
+    from gd3d.distill import make_optimizer
+    from gd3d.distill.mast3r_step import build_mast3r_train_step
     from gd3d.distill.train_state import init_state
+    from gd3d.models.mast3r import Mast3rConfig
     from gd3d.models.student import Student, split_params
+    from gd3d.teachers.mast3r import Mast3rTeacher
 
-    cfg = DistillConfig(
-        teacher="me",
-        dataset="objaverse",
-        student=StudentConfig(lora_start_block=8, use_adapters=False),
-    )
+    cfg = DistillConfig(teacher="mast3r", dataset="scannetpp")
+    H, W = 336, 512  # ScanNet++ MASt3R true_shape
+    BATCH, STEPS, WARMUP = 1, 8, 2
 
-    # Objaverse renders are 512x512 (data_utils/blenderproc.py); the student
-    # upsamples to 1280^2 internally (stride-8 trick). 3000 kps/view
-    # (data_utils/dataset.py:71). Batch = pairs per step on this one chip.
-    IMG, KPS, BATCH = 512, 3000, 2
-    STEPS, WARMUP = 10, 2
-
-    student = Student(cfg.student, me_interp_quirk=True)
+    student = Student(cfg.student)
     params = student.init(jax.random.key(0), img_size=64)
     trainable, frozen = split_params(params)
+    teacher = Mast3rTeacher(Mast3rConfig())
+    tparams = teacher.init_params(jax.random.key(1), hw=(64, 64))
     tx = make_optimizer(cfg.train)
-    step_fn = jax.jit(build_me_train_step(student, cfg, tx))
     state = init_state(tx, trainable)
+    step_fn = jax.jit(
+        build_mast3r_train_step(student, teacher, cfg, tx, has_depth=False)
+    )
 
+    rng = np.random.RandomState(0)
     batch = {
-        k: jnp.asarray(v)
-        for k, v in synthetic_me_batch(0, batch=BATCH, img=IMG, n_kps=KPS).items()
+        "rgb_1": jnp.asarray(rng.rand(BATCH, 512, 512, 3), jnp.float32),
+        "rgb_2": jnp.asarray(rng.rand(BATCH, 512, 512, 3), jnp.float32),
+        "rgb_mast3r_1": jnp.asarray(rng.rand(BATCH, H, W, 3) * 2 - 1, jnp.float32),
+        "rgb_mast3r_2": jnp.asarray(rng.rand(BATCH, H, W, 3) * 2 - 1, jnp.float32),
+        "intrinsic": jnp.asarray(
+            np.tile(np.array([[256.0, 0, W / 2], [0, 256.0, H / 2], [0, 0, 1]],
+                             np.float32), (BATCH, 1, 1))
+        ),
     }
 
     for _ in range(WARMUP):
-        state, metrics = step_fn(state, frozen, batch)
-    float(metrics["loss"])  # force full sync (block_until_ready alone does
-    # not reliably drain the axon-tunneled device queue)
+        state, metrics = step_fn(state, frozen, tparams, batch, 1.0)
+    float(metrics["loss"])  # hard sync (axon tunnel ignores block_until_ready)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, metrics = step_fn(state, frozen, batch)
+        state, metrics = step_fn(state, frozen, tparams, batch, 1.0)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
@@ -67,10 +72,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "me_distill_pairs_per_sec",
-                "value": round(pairs_per_sec, 3),
+                "metric": "mast3r_distill_pairs_per_sec",
+                "value": round(pairs_per_sec, 4),
                 "unit": "pairs/s/chip",
-                "vs_baseline": round(pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 4),
+                "vs_baseline": round(pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 6),
             }
         )
     )
