@@ -1,0 +1,80 @@
+"""FiT3D baseline comparison harness.
+
+Parity target: src/evaluate_timm_fit3d.py — evaluates a FiT3D-finetuned CLIP
+ViT-B/16 checkpoint (upstream: HF `yuanwenyue/FiT3D`, fit3d.pth) and the
+vanilla backbone side-by-side under the SAME three evaluations (PCK,
+TAP-Vid tracking, OnePose pose). The reference downloads the checkpoint
+from HF at runtime (:45-60); this offline rebuild takes a local .pth path
+and converts it with the standard timm->flax converter. Neither model has
+refine_conv / adapters — the harness runs with refine=False.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import pandas as pd
+
+from gd3d.core.config import StudentConfig
+from gd3d.models.student import Student
+from gd3d.teachers.convert import convert_timm_vit, graft_pretrained_vit
+
+VANILLA_CFG = StudentConfig(lora_start_block=12, use_adapters=False)
+
+
+def load_fit3d_student(ckpt_path: Optional[str], seed: int = 42):
+    """Build the (vanilla-architecture) student and optionally load FiT3D
+    finetuned weights from a local torch state_dict."""
+    student = Student(VANILLA_CFG)
+    params = student.init(jax.random.key(seed), img_size=64)
+    if ckpt_path:
+        from gd3d.cli.train import load_torch_state
+
+        state = load_torch_state(ckpt_path)
+        params["vit"] = graft_pretrained_vit(
+            params["vit"], convert_timm_vit(state, VANILLA_CFG)
+        )
+    return student, params
+
+
+def compare(
+    fit3d_ckpt: str,
+    vanilla_ckpt: Optional[str],
+    data_root: str = "data",
+    run_transfer: bool = True,
+    run_tracking: bool = False,
+    run_pose: bool = False,
+    num_videos: int = 30,
+) -> Dict[str, pd.DataFrame]:
+    """Side-by-side metric tables {eval}/{model} like evaluate_timm_fit3d."""
+    results: Dict[str, pd.DataFrame] = {}
+    models = {
+        "fit3d": load_fit3d_student(fit3d_ckpt),
+        "vanilla": load_fit3d_student(vanilla_ckpt),
+    }
+    for name, (student, params) in models.items():
+        if run_transfer:
+            from gd3d.eval.pck import semantic_transfer
+
+            results[f"transfer/{name}"] = semantic_transfer(
+                student, params, f"{data_root}/PF-dataset-PASCAL",
+                refine=False,
+            )
+        if run_tracking:
+            from gd3d.eval.tracking import tracking
+
+            results[f"tracking/{name}"] = tracking(
+                student, params, num_videos=num_videos,
+                benchmark_pkl=f"{data_root}/tapvid_davis_data_strided.pkl",
+                video_root=f"{data_root}/davis_480", refine=False,
+            )
+        if run_pose:
+            from gd3d.eval.onepose import oneposepp
+
+            results[f"pose/{name}"] = oneposepp(
+                student, params,
+                root=f"{data_root}/lowtexture_test_data",
+                sfm_dir=f"{data_root}/sfm_output/outputs_softmax_loftr_loftr",
+                refine=False,
+            )
+    return results
