@@ -21,6 +21,11 @@ NORTH_STAR_PAIRS_PER_SEC = 2000.0
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the MASt3R distill graph is large and this
+    # process may be re-launched per round — compile once, reuse forever.
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from gd3d.core.config import DistillConfig
