@@ -100,11 +100,14 @@ def mast3r_distill_loss(
         depth_1 = jax.vmap(raster)(feats["pts3d_1"], batch["intrinsic"])
         depth_2 = jax.vmap(raster)(feats["pts3d_2"], batch["intrinsic"])
 
-    # 3. depth losses (finetune_timm_mast3r.py:472-501)
-    kp_feat_1 = student.get_intermediate_feature(
+    # 3. depth losses (finetune_timm_mast3r.py:472-501). One fused forward
+    # per view yields both the matching descriptors (loss 5) and the
+    # intermediate keypoint features — identical numerics, half the student
+    # FLOPs of the reference's separate passes.
+    desc_1, kp_feat_1 = student.get_feature_and_intermediates(
         params, rgb_1_resized, kp_1, n=(4, 5, 6, 7)
     )
-    kp_feat_2 = student.get_intermediate_feature(
+    desc_2, kp_feat_2 = student.get_feature_and_intermediates(
         params, rgb_2_resized, kp_2, n=(4, 5, 6, 7)
     )
     kp_depth_1 = jax.vmap(
@@ -160,10 +163,8 @@ def mast3r_distill_loss(
         kl_divergence_map(mcost_t1, mcost_s1) + kl_divergence_map(mcost_t2, mcost_s2)
     ) / 2.0
 
-    # 5. matching AP loss (finetune_timm_mast3r.py:543-589)
-    desc_1 = student.get_feature(params, rgb_1_resized, kp_1, normalize=True)
-    desc_2 = student.get_feature(params, rgb_2_resized, kp_2, normalize=True)
-
+    # 5. matching AP loss (finetune_timm_mast3r.py:543-589); desc_1/desc_2
+    # come from the fused forwards above.
     def gather_pts(pts3d, kp):
         x = jnp.clip(kp[:, 0].astype(jnp.int32), 0, W - 1)
         y = jnp.clip(kp[:, 1].astype(jnp.int32), 0, H - 1)

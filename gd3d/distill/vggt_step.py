@@ -70,11 +70,12 @@ def vggt_distill_loss(
     rgb_1_resized = resize_bilinear(batch["rgb_1"], (H, W))
     rgb_2_resized = resize_bilinear(batch["rgb_2"], (H, W))
 
-    # depth losses on the VGGT depth maps (finetune_timm_vggt.py:465-486)
-    kp_feat_1 = student.get_intermediate_feature(
+    # depth losses on the VGGT depth maps (finetune_timm_vggt.py:465-486);
+    # fused forward also yields the matching descriptors for the AP loss.
+    desc_1, kp_feat_1 = student.get_feature_and_intermediates(
         params, rgb_1_resized, kp_1, n=(4, 5, 6, 7)
     )
-    kp_feat_2 = student.get_intermediate_feature(
+    desc_2, kp_feat_2 = student.get_feature_and_intermediates(
         params, rgb_2_resized, kp_2, n=(4, 5, 6, 7)
     )
     kp_depth_1 = jax.vmap(
@@ -128,10 +129,8 @@ def vggt_distill_loss(
         )
     ) / 2.0
 
-    # matching AP on world points (finetune_timm_vggt.py:536-575)
-    desc_1 = student.get_feature(params, rgb_1_resized, kp_1, normalize=True)
-    desc_2 = student.get_feature(params, rgb_2_resized, kp_2, normalize=True)
-
+    # matching AP on world points (finetune_timm_vggt.py:536-575);
+    # descriptors from the fused forwards above.
     def gather_pts(pts3d, kp):
         x = jnp.clip(kp[:, 0].astype(jnp.int32), 0, W - 1)
         y = jnp.clip(kp[:, 1].astype(jnp.int32), 0, H - 1)

@@ -213,6 +213,49 @@ class Student:
         feat = jnp.stack(feats, 0).mean(0)
         return feat.reshape(B, H // ps, W // ps, self.cfg.embed_dim)
 
+    def get_feature_and_intermediates(
+        self,
+        params: dict,
+        rgbs: jnp.ndarray,
+        pts: jnp.ndarray,
+        n: Sequence[int] = (4, 5, 6, 7),
+    ):
+        """Fused get_feature + get_intermediate_feature on one forward.
+
+        The reference runs these as SEPARATE forward passes over the same
+        resized input (6 student forwards/step, SURVEY.md §3.1); the outputs
+        are taps of one computation, so a single ViT pass yields both —
+        numerically identical, ~2x fewer student FLOPs per step.
+
+        Returns (desc (B, N, C) L2-normalized refined features,
+                 kp_feat (B, N, C) mean of normalized intermediates at pts).
+        """
+        resized, ph, pw, pts_s = self._resize_for_target(rgbs, pts)
+        out = self.forward_tokens(
+            params, normalize_img(resized), take_indices=tuple(n),
+            final_tokens=True,
+        )
+        ps = self.cfg.patch_size
+        npfx = self.cfg.num_prefix_tokens
+
+        # matching-descriptor branch (get_feature semantics)
+        grid = out["tokens"][:, npfx:].reshape(-1, ph, pw, self.cfg.embed_dim)
+        grid = self.apply_refine(params, grid)
+        desc = l2_normalize(self._interp(grid, pts_s, ph, pw), axis=-1)
+
+        # intermediate-feature branch (get_intermediate_feature semantics)
+        feats = []
+        for t in out["intermediates"]:
+            t = self.apply_norm(params, t)
+            g = t[:, npfx:].reshape(-1, ph, pw, self.cfg.embed_dim)
+            kp = interpolate_features(
+                g.transpose(0, 3, 1, 2), pts_s, h=ph * ps, w=pw * ps,
+                normalize=False, patch_size=ps, stride=ps,
+            ).transpose(0, 2, 1)
+            feats.append(kp)
+        kp_feat = jnp.stack(feats, 0).mean(0)
+        return desc, kp_feat
+
     def get_feature_cost_vggt(
         self,
         params: dict,
