@@ -46,19 +46,23 @@ def export_reference_layout(trainable: Dict, cfg: StudentConfig) -> Dict[str, np
     LoRA ordering matches the reference append order (a_q, a_v per block,
     finetune_timm_mast3r.py:118-136): w_a_{2k} = block_k's A_q,
     w_a_{2k+1} = A_v; torch Linear weights are (out, in) = our kernel^T.
+    gd3d stores the LoRA blocks weight-stacked under `blocks_adapt` (nn.scan
+    layout); k indexes the stack.
     """
     out: Dict[str, np.ndarray] = {}
     vit = trainable["vit"]
-    for k, blk_idx in enumerate(_lora_blocks(cfg)):
-        attn = vit[f"blocks_{blk_idx}"]["attn"]
-        out[f"w_a_{2 * k:03d}"] = np.asarray(attn["lora_a_q"]["kernel"]).T
-        out[f"w_b_{2 * k:03d}"] = np.asarray(attn["lora_b_q"]["kernel"]).T
-        out[f"w_a_{2 * k + 1:03d}"] = np.asarray(attn["lora_a_v"]["kernel"]).T
-        out[f"w_b_{2 * k + 1:03d}"] = np.asarray(attn["lora_b_v"]["kernel"]).T
+    attn = vit["blocks_adapt"]["attn"]
+    for k, _blk_idx in enumerate(_lora_blocks(cfg)):
+        out[f"w_a_{2 * k:03d}"] = np.asarray(attn["lora_a_q"]["kernel"][k]).T
+        out[f"w_b_{2 * k:03d}"] = np.asarray(attn["lora_b_q"]["kernel"][k]).T
+        out[f"w_a_{2 * k + 1:03d}"] = np.asarray(attn["lora_a_v"]["kernel"][k]).T
+        out[f"w_b_{2 * k + 1:03d}"] = np.asarray(attn["lora_b_v"]["kernel"][k]).T
         if cfg.use_adapters:
-            ad = vit[f"blocks_{blk_idx}"]["adapter"]
-            out[f"adapter_{k:03d}.down.weight"] = np.asarray(ad["down"]["kernel"]).T
-            out[f"adapter_{k:03d}.up.weight"] = np.asarray(ad["up"]["kernel"]).T
+            ad = vit["blocks_adapt"]["adapter"]
+            out[f"adapter_{k:03d}.down.weight"] = np.asarray(
+                ad["down"]["kernel"][k]
+            ).T
+            out[f"adapter_{k:03d}.up.weight"] = np.asarray(ad["up"]["kernel"][k]).T
 
     rc = trainable["refine_conv"]["conv"]
     # flax conv kernel (kh, kw, in, out) -> torch (out, in, kh, kw)
@@ -98,16 +102,24 @@ def import_reference_layout(
     onto a trainable tree (e.g. to load a torch-trained adapter checkpoint)."""
     new = jax.tree_util.tree_map(np.asarray, trainable)
     vit = new["vit"]
-    for k, blk_idx in enumerate(_lora_blocks(cfg)):
-        attn = vit[f"blocks_{blk_idx}"]["attn"]
-        attn["lora_a_q"]["kernel"] = np.asarray(flat[f"w_a_{2 * k:03d}"]).T
-        attn["lora_b_q"]["kernel"] = np.asarray(flat[f"w_b_{2 * k:03d}"]).T
-        attn["lora_a_v"]["kernel"] = np.asarray(flat[f"w_a_{2 * k + 1:03d}"]).T
-        attn["lora_b_v"]["kernel"] = np.asarray(flat[f"w_b_{2 * k + 1:03d}"]).T
-        if cfg.use_adapters:
-            ad = vit[f"blocks_{blk_idx}"]["adapter"]
-            ad["down"]["kernel"] = np.asarray(flat[f"adapter_{k:03d}.down.weight"]).T
-            ad["up"]["kernel"] = np.asarray(flat[f"adapter_{k:03d}.up.weight"]).T
+    attn = vit["blocks_adapt"]["attn"]
+    n = len(_lora_blocks(cfg))
+    for name in ("lora_a_q", "lora_b_q", "lora_a_v", "lora_b_v"):
+        attn[name]["kernel"] = attn[name]["kernel"].copy()
+    for k in range(n):
+        attn["lora_a_q"]["kernel"][k] = np.asarray(flat[f"w_a_{2 * k:03d}"]).T
+        attn["lora_b_q"]["kernel"][k] = np.asarray(flat[f"w_b_{2 * k:03d}"]).T
+        attn["lora_a_v"]["kernel"][k] = np.asarray(flat[f"w_a_{2 * k + 1:03d}"]).T
+        attn["lora_b_v"]["kernel"][k] = np.asarray(flat[f"w_b_{2 * k + 1:03d}"]).T
+    if cfg.use_adapters:
+        ad = vit["blocks_adapt"]["adapter"]
+        ad["down"]["kernel"] = ad["down"]["kernel"].copy()
+        ad["up"]["kernel"] = ad["up"]["kernel"].copy()
+        for k in range(n):
+            ad["down"]["kernel"][k] = np.asarray(
+                flat[f"adapter_{k:03d}.down.weight"]
+            ).T
+            ad["up"]["kernel"][k] = np.asarray(flat[f"adapter_{k:03d}.up.weight"]).T
 
     rc = new["refine_conv"]["conv"]
     rc["kernel"] = np.asarray(flat["refine_conv.weight"]).transpose(2, 3, 1, 0)

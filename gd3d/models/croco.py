@@ -112,6 +112,7 @@ class RopeCrossAttention(nn.Module):
 
 class CrocoEncoderBlock(nn.Module):
     cfg: CrocoConfig
+    scanned: bool = False
 
     @nn.compact
     def __call__(self, x, pos):
@@ -124,6 +125,8 @@ class CrocoEncoderBlock(nn.Module):
         x = x + CrocoMlp(
             cfg.enc_embed_dim, int(cfg.enc_embed_dim * cfg.mlp_ratio), name="mlp"
         )(y)
+        if self.scanned:
+            return x, None
         return x
 
 
@@ -154,10 +157,32 @@ class CrocoDecoderBlock(nn.Module):
         return x, attn_map
 
 
+class CrocoDecoderPair(nn.Module):
+    """One decoder layer for BOTH directions (dec_blocks / dec_blocks2,
+    dust3r/dust3r/model.py:308-316), scan-able with weight stacking."""
+
+    cfg: CrocoConfig
+    collect_attn: bool = True
+
+    @nn.compact
+    def __call__(self, carry, pos1, pos2):
+        g1, g2 = carry
+        n1, m1 = CrocoDecoderBlock(self.cfg, name="blk1")(
+            g1, g2, pos1, pos2, self.collect_attn
+        )
+        n2, m2 = CrocoDecoderBlock(self.cfg, name="blk2")(
+            g2, g1, pos2, pos1, self.collect_attn
+        )
+        ys = (n1, n2, m1, m2) if self.collect_attn else (n1, n2)
+        return (n1, n2), ys
+
+
 class CrocoEncoder(nn.Module):
     """PatchEmbedDust3R conv + RoPE encoder stack + final norm.
 
     __call__(imgs NHWC in [-1, 1]) -> (tokens (B, N, C), positions (B, N, 2)).
+    The 24 identical blocks run as one nn.scan with weight-stacked params
+    (compile-time: one traced block instead of 24 inlined copies).
     """
 
     cfg: CrocoConfig
@@ -174,7 +199,14 @@ class CrocoEncoder(nn.Module):
         gh, gw = x.shape[1], x.shape[2]
         x = x.reshape(B, gh * gw, cfg.enc_embed_dim)
         pos = grid_positions(gh, gw, B)
-        for i in range(cfg.enc_depth):
-            x = CrocoEncoderBlock(cfg, name=f"enc_blocks_{i}")(x, pos)
+        Scanned = nn.scan(
+            CrocoEncoderBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.enc_depth,
+            in_axes=nn.broadcast,
+            out_axes=0,
+        )
+        x, _ = Scanned(cfg, scanned=True, name="enc_blocks")(x, pos)
         x = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="enc_norm")(x)
         return x, pos

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gd3d.models.croco import CrocoConfig, CrocoDecoderBlock, CrocoEncoder
+from gd3d.models.croco import CrocoConfig, CrocoDecoderPair, CrocoEncoder
 from gd3d.models.dpt import DustDPT
 from gd3d.ops.basic import l2_normalize
 
@@ -110,33 +110,31 @@ class Mast3r(nn.Module):
         self.encoder = CrocoEncoder(c, name="encoder")
         self.decoder_embed = nn.Dense(c.dec_embed_dim, use_bias=True,
                                       name="decoder_embed")
-        self.dec_blocks = [
-            CrocoDecoderBlock(c, name=f"dec_blocks_{i}") for i in range(c.dec_depth)
-        ]
-        self.dec_blocks2 = [
-            CrocoDecoderBlock(c, name=f"dec_blocks2_{i}") for i in range(c.dec_depth)
-        ]
+        ScannedPairs = nn.scan(
+            CrocoDecoderPair,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.dec_depth,
+            in_axes=nn.broadcast,
+            out_axes=0,
+        )
+        self.dec_pairs = ScannedPairs(c, collect_attn=True, name="dec_pairs")
         self.dec_norm = nn.LayerNorm(epsilon=c.layernorm_eps, name="dec_norm")
         self.head1 = Mast3rHead(self.cfg, name="head1")
         self.head2 = Mast3rHead(self.cfg, name="head2")
 
-    def _decoder(self, f1, pos1, f2, pos2, collect_attn: bool = True):
-        """model.py:297-322: dual 12-layer cross decoder, map capture."""
-        out1 = [f1]
-        out2 = [f2]
+    def _decoder(self, f1, pos1, f2, pos2):
+        """model.py:297-322: dual 12-layer cross decoder (weight-stacked
+        scan), per-layer outputs + head-meaned attn maps."""
         g1 = self.decoder_embed(f1)
         g2 = self.decoder_embed(f2)
-        camaps1, camaps2 = [], []
-        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
-            n1, m1 = blk1(g1, g2, pos1, pos2, collect_attn)
-            n2, m2 = blk2(g2, g1, pos2, pos1, collect_attn)
-            g1, g2 = n1, n2
-            out1.append(g1)
-            out2.append(g2)
-            camaps1.append(m1)
-            camaps2.append(m2)
+        _, (ys1, ys2, cam1, cam2) = self.dec_pairs((g1, g2), pos1, pos2)
+        out1 = [f1] + [ys1[i] for i in range(ys1.shape[0])]
+        out2 = [f2] + [ys2[i] for i in range(ys2.shape[0])]
         out1[-1] = self.dec_norm(out1[-1])
         out2[-1] = self.dec_norm(out2[-1])
+        camaps1 = [cam1[i] for i in range(cam1.shape[0])]
+        camaps2 = [cam2[i] for i in range(cam2.shape[0])]
         return out1, out2, camaps1, camaps2
 
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray,
@@ -168,14 +166,15 @@ class Mast3r(nn.Module):
             [out2[h] for h in hooks], out2[0], out2[-1], (gh, gw)
         )
 
-        # reciprocity + temperature softmax (model.py:346-363)
-        tgt_maps = []
-        for m1, m2 in zip(camaps1, camaps2):
-            m = (m1 + jnp.swapaxes(m2, -1, -2)) / 2.0
-            m = jax.nn.softmax(m / temperature, axis=-1)
-            m = m.at[:, :, 0].set(jnp.min(m))
-            tgt_maps.append(m)
-        res2["tgt_attn_map"] = jnp.mean(jnp.stack(tgt_maps, axis=1), axis=1)
+        # reciprocity + temperature softmax (model.py:346-363), vectorized
+        # over the stacked layer axis; col-0 set to each LAYER's global min.
+        m1 = jnp.stack(camaps1, axis=0)  # (L, 2B, N, N)
+        m2 = jnp.stack(camaps2, axis=0)
+        m = (m1 + jnp.swapaxes(m2, -1, -2)) / 2.0
+        m = jax.nn.softmax(m / temperature, axis=-1)
+        layer_min = jnp.min(m, axis=(1, 2, 3), keepdims=False)
+        m = m.at[:, :, :, 0].set(layer_min[:, None, None])
+        res2["tgt_attn_map"] = jnp.mean(m, axis=0)
 
         res2["pts3d_in_other_view"] = res2.pop("pts3d")
         return {"res1": res1, "res2": res2}

@@ -29,6 +29,39 @@ _RESNET_MEAN = (0.485, 0.456, 0.406)
 _RESNET_STD = (0.229, 0.224, 0.225)
 
 
+class AlternatingPair(nn.Module):
+    """One (frame-attention, global-attention) layer pair — the nn.scan body
+    of the alternating-attention trunk (aggregator.py:249-323). The global
+    block always exports its cross-frame map; layer selection happens on the
+    stacked output."""
+
+    cfg: VggtConfig
+    B: int = 1
+    S: int = 2
+
+    @nn.compact
+    def __call__(self, tokens, pos, gpos, temperature):
+        cfg = self.cfg
+        C = cfg.embed_dim
+        BS, P, _ = tokens.shape
+        tokens, _ = VggtBlock(
+            C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
+            qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
+            eps=cfg.layernorm_eps, name="frame",
+        )(tokens, pos=pos)
+        frame_inter = tokens.reshape(self.B, self.S, P, C)
+
+        gtokens = tokens.reshape(self.B, self.S * P, C)
+        gtokens, amap = VggtBlock(
+            C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
+            qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
+            eps=cfg.layernorm_eps, name="global",
+        )(gtokens, pos=gpos, return_attn=True, temperature=temperature)
+        tokens = gtokens.reshape(BS, P, C)
+        global_inter = gtokens.reshape(self.B, self.S, P, C)
+        return tokens, (frame_inter, global_inter, amap)
+
+
 class Aggregator(nn.Module):
     cfg: VggtConfig
 
@@ -90,35 +123,24 @@ class Aggregator(nn.Module):
         if attn_indices is None:
             attn_indices = tuple(range(cfg.depth))
 
-        output_list: List[jnp.ndarray] = []
-        attn_maps = []
-        for i in range(cfg.depth):
-            # frame attention: (B*S, P, C)
-            tokens = tokens.reshape(B * S, P, C)
-            tokens, _ = VggtBlock(
-                C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
-                qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
-                eps=cfg.layernorm_eps, name=f"frame_blocks_{i}",
-            )(tokens, pos=pos)
-            frame_inter = tokens.reshape(B, S, P, C)
+        gpos = pos.reshape(B, S * P, 2)
+        Scanned = nn.scan(
+            AlternatingPair,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.depth,
+            in_axes=nn.broadcast,
+            out_axes=0,
+        )
+        _, (frame_inter, global_inter, amaps) = Scanned(
+            cfg, B=B, S=S, name="aa_pairs"
+        )(tokens, pos, gpos, temperature)
+        # (L, B, S, P, C) x2; amaps (L, 2B, Pp, Pp)
 
-            # global attention: (B, S*P, C)
-            gtokens = tokens.reshape(B, S * P, C)
-            gpos = pos.reshape(B, S * P, 2)
-            want_attn = i in attn_indices
-            gtokens, amap = VggtBlock(
-                C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
-                qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
-                eps=cfg.layernorm_eps, name=f"global_blocks_{i}",
-            )(gtokens, pos=gpos, return_attn=want_attn, temperature=temperature)
-            if want_attn:
-                attn_maps.append(amap)
-            tokens = gtokens.reshape(B * S, P, C)
-            global_inter = gtokens.reshape(B, S, P, C)
-
-            output_list.append(
-                jnp.concatenate([frame_inter, global_inter], axis=-1)
-            )
-
-        attn_mean = jnp.mean(jnp.stack(attn_maps, 0), axis=0) if attn_maps else None
+        output_list: List[jnp.ndarray] = [
+            jnp.concatenate([frame_inter[i], global_inter[i]], axis=-1)
+            for i in range(cfg.depth)
+        ]
+        idx = jnp.asarray(attn_indices, jnp.int32)
+        attn_mean = jnp.mean(amaps[idx], axis=0)
         return output_list, attn_mean

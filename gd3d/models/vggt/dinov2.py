@@ -72,11 +72,18 @@ class DinoV2(nn.Module):
             [x[:, :1], jnp.tile(reg, (B, 1, 1)), x[:, 1:]], axis=1
         )
 
-        for i in range(cfg.dino_depth):
-            x, _ = VggtBlock(
-                C, cfg.dino_num_heads, mlp_ratio=4.0,
-                init_values=cfg.dino_init_values, qk_norm=False,
-                use_rope=False, eps=cfg.layernorm_eps, name=f"blocks_{i}",
-            )(x)
+        Scanned = nn.scan(
+            VggtBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.dino_depth,
+            in_axes=nn.broadcast,
+            out_axes=0,
+        )
+        x, _ = Scanned(
+            C, cfg.dino_num_heads, mlp_ratio=4.0,
+            init_values=cfg.dino_init_values, qk_norm=False,
+            use_rope=False, eps=cfg.layernorm_eps, name="blocks",
+        )(x)
         x = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="norm")(x)
         return x[:, 1 + cfg.num_register_tokens :]

@@ -104,7 +104,10 @@ class VggtAttention(nn.Module):
 
 
 class VggtBlock(nn.Module):
-    """Pre-norm block with LayerScale (block.py:81-130)."""
+    """Pre-norm block with LayerScale (block.py:81-130).
+
+    With scanned=True the call follows the nn.scan protocol:
+    (carry x) -> (x, attn_map_or_None)."""
 
     dim: int
     num_heads: int
@@ -114,6 +117,7 @@ class VggtBlock(nn.Module):
     use_rope: bool = False
     rope_freq: float = 100.0
     eps: float = 1e-6
+    scanned: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None, return_attn: bool = False, temperature=1.0):
@@ -131,4 +135,4 @@ class VggtBlock(nn.Module):
         if self.init_values is not None:
             m = LayerScale(self.dim, self.init_values, name="ls2")(m)
         x = x + m
-        return x, attn_map
+        return x, attn_map  # (carry, ys) under nn.scan; plain tuple otherwise

@@ -200,9 +200,10 @@ class Block(nn.Module):
     cfg: StudentConfig
     lora: bool = False
     adapter: bool = False
+    scanned: bool = False  # scan protocol: return (carry, per-layer output)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, _scan_input=None):
         cfg = self.cfg
         y = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="norm1")(x)
         x = x + Attention(
@@ -216,6 +217,8 @@ class Block(nn.Module):
         if self.adapter:
             # BlockWithAdapter (utils/model.py:17-25): out + adapter(out)
             x = x + Adapter(cfg.embed_dim, cfg.adapter_bottleneck, name="adapter")(x)
+        if self.scanned:
+            return x, x
         return x
 
 
@@ -225,6 +228,11 @@ class ViT(nn.Module):
     __call__(imgs NHWC, already channel-normalized) -> dict with:
       'tokens':        (B, 1+P, C) after final LayerNorm (forward_features)
       'intermediates': tuple of raw block outputs for take_indices
+
+    TPU-first: the two homogeneous block groups (plain blocks, then
+    LoRA/adapter blocks) run as nn.scan with weight-stacked params — one
+    traced block body each instead of `depth` inlined copies, shrinking the
+    HLO (and XLA compile time) by ~an order of magnitude.
     """
 
     cfg: StudentConfig
@@ -264,17 +272,35 @@ class ViT(nn.Module):
         x = jnp.concatenate([jnp.tile(cls_token, (B, 1, 1)), x], axis=1)
         x = x + pos
 
+        n_plain = min(cfg.lora_start_block, cfg.depth)
+        n_adapt = cfg.depth - n_plain
+
+        def scan_group(name, n_layers, lora, adapter, x):
+            if n_layers == 0:
+                return x, None
+            Scanned = nn.scan(
+                Block,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=n_layers,
+                in_axes=nn.broadcast,
+                out_axes=0,
+            )
+            return Scanned(
+                cfg, lora=lora, adapter=adapter, scanned=True, name=name
+            )(x, None)
+
+        x, ys_plain = scan_group("blocks_plain", n_plain, False, False, x)
+        x, ys_adapt = scan_group(
+            "blocks_adapt", n_adapt, True, cfg.use_adapters, x
+        )
+
         intermediates = []
-        take = set(int(i) % cfg.depth for i in take_indices)
-        for i in range(cfg.depth):
-            x = Block(
-                cfg,
-                lora=i >= cfg.lora_start_block,
-                adapter=cfg.use_adapters and i >= cfg.lora_start_block,
-                name=f"blocks_{i}",
-            )(x)
-            if i in take:
-                intermediates.append(x)
+        if take_indices:
+            parts = [p for p in (ys_plain, ys_adapt) if p is not None]
+            all_layers = jnp.concatenate(parts, axis=0)  # (depth, B, N, C)
+            for i in take_indices:
+                intermediates.append(all_layers[int(i) % cfg.depth])
 
         out = {"intermediates": tuple(intermediates)}
         if final_tokens:

@@ -24,14 +24,21 @@ def vit_tp_rules(path: Tuple[str, ...], leaf) -> P:
     if leaf is None:
         return P()
     ndim = getattr(leaf, "ndim", 0)
-    if "kernel" in joined and ndim == 2:
+    # nn.scan weight stacking adds a leading layer axis (kernels become
+    # (L, in, out), biases (L, out)); the layer axis stays unsharded.
+    stacked = any(m in joined for m in ("blocks_plain", "blocks_adapt",
+                                        "blocks/", "scan"))
+    kdim = 3 if stacked else 2
+    bdim = 2 if stacked else 1
+    lead = (None,) if stacked else ()
+    if "kernel" in joined and ndim == kdim:
         if any(m in joined for m in ("qkv", "fc1", "lora_b_")):
-            return P(None, MODEL_AXIS)  # column parallel
+            return P(*lead, None, MODEL_AXIS)  # column parallel
         if any(m in joined for m in ("proj/", "fc2")) or joined.endswith("proj/kernel"):
-            return P(MODEL_AXIS, None)  # row parallel
-    if "bias" in joined and ndim == 1:
+            return P(*lead, MODEL_AXIS, None)  # row parallel
+    if "bias" in joined and ndim == bdim:
         if any(m in joined for m in ("qkv", "fc1")):
-            return P(MODEL_AXIS)
+            return P(*lead, MODEL_AXIS)
     return P()
 
 

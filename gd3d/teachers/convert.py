@@ -43,14 +43,29 @@ def _conv(state: Mapping, prefix: str) -> Dict:
     return out
 
 
+def _stack_trees(trees) -> Dict:
+    """Stack a list of identical param trees along a new leading axis (the
+    nn.scan weight-stacking layout)."""
+    out: Dict = {}
+    for k in trees[0]:
+        if isinstance(trees[0][k], dict):
+            out[k] = _stack_trees([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees])
+    return out
+
+
 def convert_timm_vit(state: Mapping, cfg: StudentConfig) -> Dict:
     """Convert a timm VisionTransformer state_dict (pre-LoRA mutation,
     `vit_base_patch16_clip_384.*` layout) to the gd3d ViT param tree.
 
+    The gd3d ViT runs its blocks as nn.scan groups (`blocks_plain` for
+    blocks[:lora_start], `blocks_adapt` for blocks[lora_start:]), so the
+    per-layer torch tensors are stacked along a leading layer axis.
+
     LoRA/adapter params are NOT present in pretrained checkpoints; callers
     should graft them from a fresh init (they are zero-impact at start:
-    lora_b is zero-init and adapters start near-identity only through
-    training — the reference trains them from scratch too).
+    lora_b is zero-init; adapters train from scratch like the reference).
     """
     params: Dict = {
         "cls_token": _t(state["cls_token"]),
@@ -58,9 +73,10 @@ def convert_timm_vit(state: Mapping, cfg: StudentConfig) -> Dict:
         "patch_embed": _conv(state, "patch_embed.proj"),
         "norm": _layernorm(state, "norm"),
     }
-    for i in range(cfg.depth):
+
+    def block_tree(i: int) -> Dict:
         p = f"blocks.{i}"
-        params[f"blocks_{i}"] = {
+        return {
             "norm1": _layernorm(state, f"{p}.norm1"),
             "norm2": _layernorm(state, f"{p}.norm2"),
             "attn": {
@@ -72,6 +88,16 @@ def convert_timm_vit(state: Mapping, cfg: StudentConfig) -> Dict:
                 "fc2": _linear(state, f"{p}.mlp.fc2"),
             },
         }
+
+    n_plain = min(cfg.lora_start_block, cfg.depth)
+    if n_plain > 0:
+        params["blocks_plain"] = _stack_trees(
+            [block_tree(i) for i in range(n_plain)]
+        )
+    if cfg.depth - n_plain > 0:
+        params["blocks_adapt"] = _stack_trees(
+            [block_tree(i) for i in range(n_plain, cfg.depth)]
+        )
     return params
 
 

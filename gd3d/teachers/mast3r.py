@@ -145,22 +145,37 @@ def _dpt_tree(state: Mapping, p: str) -> dict:
 
 
 def convert_mast3r(state: Mapping, cfg: Mast3rConfig = Mast3rConfig()) -> dict:
-    """Convert an AsymmetricMASt3R torch state_dict to the gd3d param tree."""
+    """Convert an AsymmetricMASt3R torch state_dict to the gd3d param tree
+    (nn.scan weight-stacked blocks: encoder/enc_blocks, dec_pairs/blk1|blk2)."""
+    from gd3d.teachers.convert import _stack_trees
+
     c = cfg.croco
     params: dict = {
         "encoder": {
             "patch_embed": _conv(state, "patch_embed.proj"),
             "enc_norm": _layernorm(state, "enc_norm"),
+            "enc_blocks": _stack_trees(
+                [_enc_block(state, f"enc_blocks.{i}") for i in range(c.enc_depth)]
+            ),
         },
         "decoder_embed": _linear(state, "decoder_embed"),
         "dec_norm": _layernorm(state, "dec_norm"),
     }
-    for i in range(c.enc_depth):
-        params["encoder"][f"enc_blocks_{i}"] = _enc_block(state, f"enc_blocks.{i}")
-    for i in range(c.dec_depth):
-        params[f"dec_blocks_{i}"] = _decoder_block(state, f"dec_blocks.{i}")
-        key = f"dec_blocks2.{i}" if f"dec_blocks2.{i}.norm1.weight" in state else f"dec_blocks.{i}"
-        params[f"dec_blocks2_{i}"] = _decoder_block(state, key)
+    # dec_blocks2 duplicated from dec_blocks when absent (model.py:169-176)
+    have2 = any(k.startswith("dec_blocks2.") for k in state)
+    params["dec_pairs"] = {
+        "blk1": _stack_trees(
+            [_decoder_block(state, f"dec_blocks.{i}") for i in range(c.dec_depth)]
+        ),
+        "blk2": _stack_trees(
+            [
+                _decoder_block(
+                    state, f"dec_blocks2.{i}" if have2 else f"dec_blocks.{i}"
+                )
+                for i in range(c.dec_depth)
+            ]
+        ),
+    }
     for hid, hname in ((1, "head1"), (2, "head2")):
         hp = f"downstream_head{hid}"
         params[hname] = {

@@ -170,6 +170,8 @@ def convert_vggt(state: Mapping, cfg: VggtConfig = VggtConfig()) -> dict:
     track head uses its own sub-layout (converted by convert_vggt_track,
     same file) — all verified against torch transcriptions in tests.
     """
+    from gd3d.teachers.convert import _stack_trees
+
     agg = "aggregator"
     dino = f"{agg}.patch_embed"
     params: dict = {
@@ -182,18 +184,30 @@ def convert_vggt(state: Mapping, cfg: VggtConfig = VggtConfig()) -> dict:
                 "register_tokens": np.asarray(state[f"{dino}.register_tokens"]),
                 "patch_embed": _conv(state, f"{dino}.patch_embed.proj"),
                 "norm": _layernorm(state, f"{dino}.norm"),
+                "blocks": _stack_trees(
+                    [
+                        _ls_block(state, f"{dino}.blocks.{i}",
+                                  qk_norm=False, ls=True)
+                        for i in range(cfg.dino_depth)
+                    ]
+                ),
+            },
+            "aa_pairs": {
+                "frame": _stack_trees(
+                    [
+                        _ls_block(state, f"{agg}.frame_blocks.{i}",
+                                  qk_norm=cfg.qk_norm, ls=True)
+                        for i in range(cfg.depth)
+                    ]
+                ),
+                "global": _stack_trees(
+                    [
+                        _ls_block(state, f"{agg}.global_blocks.{i}",
+                                  qk_norm=cfg.qk_norm, ls=True)
+                        for i in range(cfg.depth)
+                    ]
+                ),
             },
         },
     }
-    for i in range(cfg.dino_depth):
-        params["aggregator"]["patch_embed"][f"blocks_{i}"] = _ls_block(
-            state, f"{dino}.blocks.{i}", qk_norm=False, ls=True
-        )
-    for i in range(cfg.depth):
-        params["aggregator"][f"frame_blocks_{i}"] = _ls_block(
-            state, f"{agg}.frame_blocks.{i}", qk_norm=cfg.qk_norm, ls=True
-        )
-        params["aggregator"][f"global_blocks_{i}"] = _ls_block(
-            state, f"{agg}.global_blocks.{i}", qk_norm=cfg.qk_norm, ls=True
-        )
     return params

@@ -159,13 +159,13 @@ def test_lora_is_zero_impact_at_init():
     torch.manual_seed(3)
     tvit = TViT(CFG).eval()
     state = {k: v.detach().numpy() for k, v in tvit.state_dict().items()}
-    converted = convert_timm_vit(state, CFG)
 
     x = jnp.asarray(np.random.RandomState(3).rand(1, 32, 32, 3).astype(np.float32))
     base_fresh = ViT(CFG).init(jax.random.key(0), x)["params"]
-    base = graft_pretrained_vit(base_fresh, converted)
+    base = graft_pretrained_vit(base_fresh, convert_timm_vit(state, CFG))
     lora_fresh = ViT(cfg_lora).init(jax.random.key(1), x)["params"]
-    lora = graft_pretrained_vit(lora_fresh, converted)
+    # block-group layout follows each model's own lora_start_block
+    lora = graft_pretrained_vit(lora_fresh, convert_timm_vit(state, cfg_lora))
 
     out_base = np.asarray(ViT(CFG).apply({"params": base}, x)["tokens"])
     out_lora = np.asarray(ViT(cfg_lora).apply({"params": lora}, x)["tokens"])
