@@ -154,8 +154,10 @@ class DistillConfig:
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
-    # numeric policy: teacher inference in bf16, losses/eval fp32
-    teacher_dtype: str = "bfloat16"
+    # numeric policy: teacher trunk dtype ("float32" | "bfloat16").
+    # Reference parity: MASt3R runs fp32, VGGT's aggregator runs bf16
+    # autocast (finetune_timm_vggt.py:359); losses/eval always fp32.
+    teacher_dtype: str = "float32"
     student_dtype: str = "float32"
 
     def replace(self, **kw) -> "DistillConfig":
@@ -185,6 +187,7 @@ def vggt_scannetpp() -> DistillConfig:
         teacher="vggt",
         dataset="scannetpp",
         loss_weights=LossWeights(ap=1.0, depth=1.0, intra_depth=1.0, kl=1.0),
+        teacher_dtype="bfloat16",
     )
 
 

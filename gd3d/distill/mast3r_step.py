@@ -60,9 +60,11 @@ def mast3r_distill_loss(
     ps = cfg.student.patch_size
     B, H, W, _ = batch["rgb_mast3r_1"].shape
 
-    # 1. frozen teacher
+    # 1. frozen teacher (trunk dtype per cfg.teacher_dtype policy)
+    tdtype = cfg.teacher_dtype if cfg.teacher_dtype != "float32" else None
     feats = teacher.extract_features(
-        teacher_params, batch["rgb_mast3r_1"], batch["rgb_mast3r_2"], temperature
+        teacher_params, batch["rgb_mast3r_1"], batch["rgb_mast3r_2"],
+        temperature, dtype=tdtype,
     )
 
     # 2. keypoints (per pair)

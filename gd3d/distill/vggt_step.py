@@ -58,7 +58,10 @@ def vggt_distill_loss(
     vp = teacher.cfg.patch_size
     ph, pw = H // vp, W // vp
 
-    feats = teacher.extract_features(teacher_params, batch["rgb_vggt"], temperature)
+    tdtype = cfg.teacher_dtype if cfg.teacher_dtype != "float32" else None
+    feats = teacher.extract_features(
+        teacher_params, batch["rgb_vggt"], temperature, dtype=tdtype
+    )
     kp_1, kp_2, valid, mask_1, mask_2 = teacher.sample_keypoints(
         teacher_params, feats, batch["rgb_vggt"], rng,
         num_keypoints=kcfg.nms_num, min_distance=kcfg.nms_min_distance,

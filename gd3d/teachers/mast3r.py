@@ -32,8 +32,13 @@ class Mast3rTeacher:
         rgb_mast3r_1: jnp.ndarray,
         rgb_mast3r_2: jnp.ndarray,
         temperature: jnp.ndarray | float = 1.0,
+        dtype: str | None = None,
     ) -> Dict[str, jnp.ndarray]:
         """Frozen symmetric inference. Images (B, H, W, 3) in [-1, 1], W>=H.
+
+        dtype='bfloat16' runs the encoder/decoder trunk in bf16 while the
+        heads stay fp32 via dtype promotion — the analogue of the
+        reference's autocast-off head block (dust3r/dust3r/model.py:339-341).
 
         Returns per-pair tensors shaped (B, H, W, ...) / (B, N, N):
           desc_1/2, pts3d_1, pts3d_2_from_1, pts3d_2, conf_1/2, cost_1/2 —
@@ -41,8 +46,27 @@ class Mast3rTeacher:
         (finetune_timm_mast3r.py:377-389).
         """
         B = rgb_mast3r_1.shape[0]
+        if dtype == "bfloat16":
+            bf = jnp.bfloat16
+
+            def cast(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: x.astype(bf) if x.dtype == jnp.float32 else x,
+                    tree,
+                )
+
+            params = dict(params)
+            for key in ("encoder", "decoder_embed", "dec_pairs", "dec_norm"):
+                if key in params:
+                    params[key] = cast(params[key])
+            rgb_mast3r_1 = rgb_mast3r_1.astype(bf)
+            rgb_mast3r_2 = rgb_mast3r_2.astype(bf)
         out = self.model.apply(
             {"params": params}, rgb_mast3r_1, rgb_mast3r_2, temperature
+        )
+        out = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+            out,
         )
         res1, res2 = out["res1"], out["res2"]
         feats = {

@@ -44,12 +44,30 @@ class VggtTeacher:
         params: dict,
         rgb_vggt: jnp.ndarray,
         temperature=1.0,
+        dtype: str | None = None,
     ) -> Dict[str, jnp.ndarray]:
         """rgb_vggt (B, 2, H, W, 3) in [0, 1]. Returns the per-pair dict the
-        distillation step consumes (finetune_timm_vggt.py:394-412)."""
+        distillation step consumes (finetune_timm_vggt.py:394-412).
+
+        dtype='bfloat16' casts the aggregator to bf16 (the reference runs the
+        1B aggregator under bf16 autocast, finetune_timm_vggt.py:359) while
+        the camera/DPT/track heads stay fp32 (vggt/models/vggt.py:66)."""
         B, S, H, W, _ = rgb_vggt.shape
+        if dtype == "bfloat16":
+            bf = jnp.bfloat16
+            params = dict(params)
+            params["aggregator"] = jax.tree_util.tree_map(
+                lambda x: x.astype(bf) if x.dtype == jnp.float32 else x,
+                params["aggregator"],
+            )
+            rgb_vggt = rgb_vggt.astype(bf)
         out = self.model.apply(
             {"params": params}, rgb_vggt, temperature=temperature
+        )
+        out = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            out,
         )
         extr, intr = pose_encoding_to_extri_intri(out["pose_enc"], (H, W))
         depth = out["depth"][..., 0]  # (B, S, H, W)
