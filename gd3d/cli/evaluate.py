@@ -21,6 +21,8 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=None, help="orbax adapter checkpoint dir")
+    p.add_argument("--adapter-ckpt", default=None,
+                   help="reference Lightning .ckpt with w_a_*/adapter_* keys")
     p.add_argument("--matcher", default="mast3r",
                    choices=["mast3r", "vggt", "me", "vanilla"])
     p.add_argument("--student-ckpt", default=None)
@@ -59,6 +61,18 @@ def main(argv=None):
     if args.ckpt:
         trainable, frozen = split_params(params)
         trainable = restore_checkpoint(args.ckpt, jax.device_get(trainable))
+        params = merge_params(trainable, frozen)
+    elif args.adapter_ckpt:
+        from gd3d.core.checkpoint import (
+            import_reference_layout,
+            load_reference_checkpoint,
+        )
+
+        trainable, frozen = split_params(params)
+        flat = load_reference_checkpoint(args.adapter_ckpt)
+        trainable = import_reference_layout(
+            jax.device_get(trainable), flat, cfg
+        )
         params = merge_params(trainable, frozen)
 
     # vanilla has no refine_conv in the reference harness

@@ -172,6 +172,7 @@ def main(argv=None):
     with mesh, open(metrics_path, "a") as mf:
         for epoch in range(epochs):
             temp = temperature_schedule(cfg, epoch)
+            epoch_metrics = {}
             for step in range(steps):
                 batch = make_batch(epoch, step) if cfg.teacher == "me" else \
                     _teacher_batch(args, cfg, n_data * args.batch_per_device,
@@ -183,13 +184,37 @@ def main(argv=None):
                 loss = float(metrics["loss"])
                 dt = time.perf_counter() - t0
                 rec = {k: float(v) for k, v in metrics.items()}
+                for k, v in rec.items():
+                    epoch_metrics.setdefault(k, []).append(v)
                 rec.update(epoch=epoch, step=step, time_s=dt, temperature=temp)
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
                 print(f"epoch {epoch} step {step}: loss={loss:.4f} ({dt:.2f}s)")
+            # epoch-mean logging (EvaluationCallback, evaluate_timm.py:612-639)
+            means = {f"epoch/{k}": float(np.mean(v))
+                     for k, v in epoch_metrics.items()}
+            means["epoch"] = epoch
+            mf.write(json.dumps(means) + "\n")
+            mf.flush()
             if (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
                 save_checkpoint(str(out_dir / f"ckpt_epoch_{epoch + 1:04d}"),
                                 jax.device_get(state.trainable))
+            # periodic eval (every 10 epochs, evaluate_timm.py:641-692) when
+            # the PF-PASCAL data is present
+            pascal = Path(args.data_root) / "PF-dataset-PASCAL"
+            if (epoch + 1) % cfg.train.eval_every_epochs == 0 and pascal.exists():
+                from gd3d.models.student import merge_params
+                from gd3d.eval.pck import semantic_transfer
+
+                full = merge_params(jax.device_get(state.trainable), frozen)
+                for same_view in (True, False):
+                    df = semantic_transfer(
+                        student, full, str(pascal), same_view=same_view
+                    )
+                    tag = "same" if same_view else "diff"
+                    edir = out_dir / f"epoch_{epoch + 1}"
+                    edir.mkdir(exist_ok=True)
+                    df.to_csv(edir / f"semantic_transfer_{tag}.csv")
     print("training finished")
 
 

@@ -35,6 +35,39 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(path, target)
 
 
+def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference Lightning .ckpt and flatten it to the reference key
+    layout consumed by import_reference_layout.
+
+    The reference's on_save_checkpoint puts w_a_%03d / w_b_%03d /
+    depth_diff_head / adapter_%03d at the checkpoint top level and
+    refine_conv under 'state_dict' (finetune_timm_mast3r.py:172-191).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    flat: Dict[str, np.ndarray] = {}
+
+    def emit(prefix, obj):
+        if hasattr(obj, "numpy"):
+            flat[prefix] = obj.numpy()
+        elif isinstance(obj, dict):
+            for k, v in obj.items():
+                emit(f"{prefix}.{k}" if prefix else k, v)
+
+    for key, val in ckpt.items():
+        if key.startswith(("w_a_", "w_b_")):
+            flat[key] = val.numpy()
+        elif key.startswith("adapter_"):
+            emit(key, val)
+        elif key == "depth_diff_head":
+            emit("depth_diff_head", val)
+        elif key == "state_dict" and isinstance(val, dict):
+            if "refine_conv" in val:
+                emit("refine_conv", val["refine_conv"])
+    return flat
+
+
 # ------------------------------------------------- reference key layout
 def _lora_blocks(cfg: StudentConfig):
     return list(range(cfg.lora_start_block, cfg.depth))
