@@ -26,6 +26,7 @@ import optax
 
 from gd3d.core.config import DistillConfig
 from gd3d.distill.keypoints import filter_and_match_keypoints
+from gd3d.kernels.cost_kl import masked_softmax_kl_rows
 from gd3d.distill.train_state import TrainState
 from gd3d.models.student import Student, merge_params, resize_bilinear
 from gd3d.ops.basic import l2_normalize
@@ -154,15 +155,11 @@ def mast3r_distill_loss(
     mcost_t2 = jax.vmap(lambda c, m: masked_patch_cost(c[None], m)[0])(
         feats["cost_2"], mask_2
     )
-    mcost_s1 = jax.vmap(
-        lambda c, m: masked_patch_cost(c[None], m, use_softmax=True)[0]
-    )(cost_12, mask_1)
-    mcost_s2 = jax.vmap(
-        lambda c, m: masked_patch_cost(c[None], m, use_softmax=True)[0]
-    )(cost_21, mask_2)
-
+    # student side fused: masked softmax + per-row KL in one Pallas kernel
+    # (gd3d/kernels/cost_kl.py; falls back to the jnp path off-TPU)
     kl_loss = (
-        kl_divergence_map(mcost_t1, mcost_s1) + kl_divergence_map(mcost_t2, mcost_s2)
+        jnp.mean(masked_softmax_kl_rows(mcost_t1, cost_12, mask_1))
+        + jnp.mean(masked_softmax_kl_rows(mcost_t2, cost_21, mask_2))
     ) / 2.0
 
     # 5. matching AP loss (finetune_timm_mast3r.py:543-589); desc_1/desc_2
