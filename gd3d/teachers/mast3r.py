@@ -154,17 +154,22 @@ def _dpt_tree(state: Mapping, p: str) -> dict:
         tree[f"layer_{i}_rn"] = _conv(state, f"{p}.scratch.layer{i + 1}_rn")
     for i in range(1, 5):
         rp = f"{p}.scratch.refinenet{i}"
-        tree[f"refinenet{i}"] = {
-            "resConfUnit1": {
-                "conv1": _conv(state, f"{rp}.resConfUnit1.conv1"),
-                "conv2": _conv(state, f"{rp}.resConfUnit1.conv2"),
-            },
+        blk = {
             "resConfUnit2": {
                 "conv1": _conv(state, f"{rp}.resConfUnit2.conv1"),
                 "conv2": _conv(state, f"{rp}.resConfUnit2.conv2"),
             },
             "out_conv": _conv(state, f"{rp}.out_conv"),
         }
+        if i != 4:
+            # refinenet4 is called without a skip input (dpt_head.py:57), so
+            # its resConfUnit1 weights are dead upstream — not materialized
+            # in the flax tree.
+            blk["resConfUnit1"] = {
+                "conv1": _conv(state, f"{rp}.resConfUnit1.conv1"),
+                "conv2": _conv(state, f"{rp}.resConfUnit1.conv2"),
+            }
+        tree[f"refinenet{i}"] = blk
     return tree
 
 
