@@ -47,6 +47,10 @@ class StudentConfig:
     depth_head_hidden: int = 128
     depth_head_tanh: bool = True
 
+    # rematerialize block activations in the backward pass (memory-for-FLOPs
+    # trade to fit larger pair batches; jax.checkpoint on the scan bodies)
+    remat: bool = False
+
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads

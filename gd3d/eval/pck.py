@@ -112,6 +112,50 @@ def dense_eval_features(
     return student.dense_grid_features(params, x, refine=refine)
 
 
+def make_match_fn(student: Student, img_size: int = 640, refine: bool = True,
+                  max_kps: int = 20):
+    """Build the jitted pair-matching fn (evaluate_timm.py:516-547): one XLA
+    program reused across every PF-PASCAL pair (the reference re-dispatches
+    eagerly per pair). Keypoints are padded to max_kps."""
+    ps = student.cfg.patch_size
+
+    @jax.jit
+    def fn(params, img1, img2, kps1):
+        d1 = student.dense_grid_features(params, img1, refine=refine)
+        d2 = student.dense_grid_features(params, img2, refine=refine)
+        ds_size = ((img_size - ps) // ps) * ps + 1
+        d2_up = resize_bilinear_ac(d2, (ds_size, ds_size))
+        pad_l = ps // 2
+        pad_r = img_size - ds_size - pad_l
+        d2_full = jnp.pad(
+            d2_up, ((0, 0), (pad_l, pad_r), (pad_l, pad_r), (0, 0)),
+            mode="edge",
+        )
+        kp_desc = interpolate_features(
+            d1.transpose(0, 3, 1, 2), kps1[None],
+            h=img_size, w=img_size, normalize=True, patch_size=ps, stride=ps,
+        )  # (1, C, N)
+        sim = jnp.einsum("cn,hwc->nhw", kp_desc[0], d2_full[0]).reshape(
+            kps1.shape[0], -1
+        )
+        nn_idx = jnp.argmax(sim, axis=1)
+        return jnp.stack([nn_idx % img_size, nn_idx // img_size], axis=1)
+
+    def match(params, img1_canvas, img2_canvas, kps1):
+        n = kps1.shape[0]
+        pad = max(0, max_kps - n)
+        kps_p = np.pad(kps1[:, :2].astype(np.float32), ((0, pad), (0, 0)))
+        out = fn(
+            params,
+            jnp.asarray(img1_canvas[None].astype(np.float32) / 255.0),
+            jnp.asarray(img2_canvas[None].astype(np.float32) / 255.0),
+            jnp.asarray(kps_p[:max_kps]),
+        )
+        return np.asarray(out)[:n]
+
+    return match
+
+
 def match_pair(
     student: Student,
     params: dict,
@@ -121,30 +165,10 @@ def match_pair(
     img_size: int = 640,
     refine: bool = True,
 ) -> np.ndarray:
-    """Predict img2 positions for img1 keypoints (evaluate_timm.py:516-547)."""
-    ps = student.cfg.patch_size
-    d1 = dense_eval_features(student, params, img1, refine)
-    d2 = dense_eval_features(student, params, img2, refine)
-
-    ds_size = ((img_size - ps) // ps) * ps + 1
-    d2_up = resize_bilinear_ac(d2, (ds_size, ds_size))
-    pad_l = ps // 2
-    pad_r = img_size - ds_size - pad_l
-    d2_full = jnp.pad(
-        d2_up, ((0, 0), (pad_l, pad_r), (pad_l, pad_r), (0, 0)), mode="edge"
-    )  # (1, 640, 640, C)
-
-    kp_desc = interpolate_features(
-        d1.transpose(0, 3, 1, 2), jnp.asarray(kps1[None, :, :2]),
-        h=img_size, w=img_size, normalize=True, patch_size=ps, stride=ps,
-    )  # (1, C, N)
-    sim = jnp.einsum(
-        "cn,hwc->nhw", kp_desc[0], d2_full[0]
-    ).reshape(kps1.shape[0], -1)
-    nn_idx = jnp.argmax(sim, axis=1)
-    nn_x = nn_idx % img_size
-    nn_y = nn_idx // img_size
-    return np.stack([np.asarray(nn_x), np.asarray(nn_y)], axis=1)
+    """Predict img2 positions for img1 keypoints (single-shot convenience)."""
+    return make_match_fn(student, img_size, refine, max_kps=kps1.shape[0])(
+        params, img1, img2, kps1
+    )
 
 
 def semantic_transfer(
@@ -159,8 +183,8 @@ def semantic_transfer(
 ) -> pd.DataFrame:
     """Full PCK table (evaluate_timm.py:461-588)."""
     categories = list(categories or PASCAL_CATEGORIES)
-    rows = {f"PCK{a:.2f}".replace("PCK0.10", "PCK0.10"): [] for a in alphas}
     results = {a: [] for a in alphas}
+    match = make_match_fn(student, img_size, refine, max_kps=20)
     for cat in categories:
         files, kps = load_pascal_pairs(data_path, img_size, cat, same_view)
         gt_all, pred_all = [], []
@@ -174,7 +198,7 @@ def semantic_transfer(
             k1 = kps[2 * pair_idx]
             k2 = kps[2 * pair_idx + 1]
             vis = k1[:, 2] * k2[:, 2] > 0
-            pred = match_pair(student, params, img1, img2, k1, img_size, refine)
+            pred = match(params, img1, img2, k1)
             gt_all.append(k2[vis][:, [1, 0]])
             pred_all.append(pred[vis][:, [1, 0]])
         gt = np.concatenate(gt_all, 0)

@@ -26,9 +26,9 @@ NEG_BIG = -1e30
 
 
 def _kl_kernel(p_ref, cost_ref, mask_ref, out_ref, *, eps: float):
-    p = p_ref[0]            # (RB, M) teacher, rows already normalized
-    cost = cost_ref[0]      # (RB, M) raw student sims (padded cols NEG_BIG)
-    mask = mask_ref[0]      # (RB, 1) float row mask
+    p = p_ref[:]            # (B, RB, M) teacher, rows already normalized
+    cost = cost_ref[:]      # (B, RB, M) raw student sims (padded cols NEG_BIG)
+    mask = mask_ref[:]      # (B, RB, 1) float row mask
 
     masked = jnp.where(mask > 0, cost, jnp.where(cost <= NEG_BIG / 2, cost, 0.0))
     m = jnp.max(masked, axis=-1, keepdims=True)
@@ -37,7 +37,7 @@ def _kl_kernel(p_ref, cost_ref, mask_ref, out_ref, *, eps: float):
 
     pc = jnp.maximum(p, eps)
     qc = jnp.maximum(q, eps)
-    out_ref[0] = jnp.sum(pc * jnp.log(pc / qc), axis=-1)
+    out_ref[:] = jnp.sum(pc * jnp.log(pc / qc), axis=-1)
 
 
 def _fwd_impl(teacher_p, student_cost, row_mask, eps, interpret):
@@ -52,18 +52,22 @@ def _fwd_impl(teacher_p, student_cost, row_mask, eps, interpret):
     mask = jnp.pad(row_mask.astype(jnp.float32), ((0, 0), (0, pad_n)))[..., None]
     Np, Mp = N + pad_n, M + pad_m
 
+    # Batch lives INSIDE the block (B is small: pairs per chip) so the
+    # output block's trailing dims (B, ROW_BLK) match the array dims — the
+    # TPU tiling rule requires the last two block dims be (8k, 128k) or
+    # equal to the array's.
     out = pl.pallas_call(
         functools.partial(_kl_kernel, eps=eps),
-        grid=(B, Np // ROW_BLK),
+        grid=(Np // ROW_BLK,),
         in_specs=[
-            pl.BlockSpec((1, ROW_BLK, Mp), lambda b, n: (b, n, 0),
+            pl.BlockSpec((B, ROW_BLK, Mp), lambda n: (0, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLK, Mp), lambda b, n: (b, n, 0),
+            pl.BlockSpec((B, ROW_BLK, Mp), lambda n: (0, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLK, 1), lambda b, n: (b, n, 0),
+            pl.BlockSpec((B, ROW_BLK, 1), lambda n: (0, n, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ROW_BLK), lambda b, n: (b, n),
+        out_specs=pl.BlockSpec((B, ROW_BLK), lambda n: (0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np), jnp.float32),
         interpret=interpret,

@@ -278,8 +278,9 @@ class ViT(nn.Module):
         def scan_group(name, n_layers, lora, adapter, x):
             if n_layers == 0:
                 return x, None
+            body = nn.remat(Block) if cfg.remat else Block
             Scanned = nn.scan(
-                Block,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=n_layers,
