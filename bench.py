@@ -38,7 +38,7 @@ def main() -> None:
 
     cfg = DistillConfig(teacher="mast3r", dataset="scannetpp")
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
-    BATCH, STEPS, WARMUP = 2, 8, 2
+    BATCH, STEPS, WARMUP = 1, 8, 2
 
     student = Student(cfg.student)
     params = student.init(jax.random.key(0), img_size=64)
