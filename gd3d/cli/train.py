@@ -48,6 +48,10 @@ def parse_args(argv=None):
                    help="force the synthetic data pipeline")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model + tiny shapes (CI smoke testing)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans: fail fast on NaN/Inf in any op")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also mirror step metrics to TensorBoard (tf.summary)")
     return p.parse_args(argv)
 
 
@@ -66,6 +70,12 @@ def main(argv=None):
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    tb_writer = None
+    if args.tensorboard:
+        import tensorflow as tf  # baked in; used only for summaries
 
     from gd3d.core import config as cfglib
     from gd3d.core.checkpoint import save_checkpoint
@@ -94,6 +104,10 @@ def main(argv=None):
     out_dir = Path(args.output or f"outputs/{args.config}/{time.strftime('%Y%m%d_%H%M%S')}")
     out_dir.mkdir(parents=True, exist_ok=True)
     metrics_path = out_dir / "metrics.jsonl"
+    if args.tensorboard:
+        import tensorflow as tf
+
+        tb_writer = tf.summary.create_file_writer(str(out_dir / "tb"))
 
     np.random.seed(cfg.train.seed)
     mesh = make_mesh(n_model=cfg.mesh.model)
@@ -189,6 +203,12 @@ def main(argv=None):
                 rec.update(epoch=epoch, step=step, time_s=dt, temperature=temp)
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
+                if tb_writer is not None:
+                    with tb_writer.as_default(step=epoch * steps + step):
+                        import tensorflow as tf
+
+                        for k, v in rec.items():
+                            tf.summary.scalar(k, v)
                 print(f"epoch {epoch} step {step}: loss={loss:.4f} ({dt:.2f}s)")
             # epoch-mean logging (EvaluationCallback, evaluate_timm.py:612-639)
             means = {f"epoch/{k}": float(np.mean(v))
