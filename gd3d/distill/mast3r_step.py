@@ -103,16 +103,19 @@ def mast3r_distill_loss(
         depth_1 = jax.vmap(raster)(feats["pts3d_1"], batch["intrinsic"])
         depth_2 = jax.vmap(raster)(feats["pts3d_2"], batch["intrinsic"])
 
-    # 3. depth losses (finetune_timm_mast3r.py:472-501). One fused forward
-    # per view yields both the matching descriptors (loss 5) and the
-    # intermediate keypoint features — identical numerics, half the student
-    # FLOPs of the reference's separate passes.
-    desc_1, kp_feat_1 = student.get_feature_and_intermediates(
-        params, rgb_1_resized, kp_1, n=(4, 5, 6, 7)
+    # 3. depth losses (finetune_timm_mast3r.py:472-501). ONE fused forward
+    # over both views stacked on batch yields the matching descriptors
+    # (loss 5) AND the intermediate keypoint features — identical numerics,
+    # half the student subgraphs of the reference's 6 separate passes and a
+    # 2B batch for the MXU.
+    desc_all, kp_feat_all = student.get_feature_and_intermediates(
+        params,
+        jnp.concatenate([rgb_1_resized, rgb_2_resized], axis=0),
+        jnp.concatenate([kp_1, kp_2], axis=0),
+        n=(4, 5, 6, 7),
     )
-    desc_2, kp_feat_2 = student.get_feature_and_intermediates(
-        params, rgb_2_resized, kp_2, n=(4, 5, 6, 7)
-    )
+    desc_1, desc_2 = desc_all[:B], desc_all[B:]
+    kp_feat_1, kp_feat_2 = kp_feat_all[:B], kp_feat_all[B:]
     kp_depth_1 = jax.vmap(
         lambda d, kp: extract_kp_depth(d, kp[None], kcfg.depth_window)[0]
     )(depth_1, kp_1)
@@ -124,19 +127,22 @@ def mast3r_distill_loss(
     gt_diff = jax.lax.stop_gradient(jnp.tanh(kp_depth_1 - kp_depth_2))
     depth_loss = _masked_mean(jnp.abs(pred_depth_diff - gt_diff), valid)
 
-    score_1 = student.pairwise_score_diff(params, kp_feat_1)
-    score_2 = student.pairwise_score_diff(params, kp_feat_2)
+    score_all = student.pairwise_score_diff(params, kp_feat_all)
     intra_1 = pairwise_logistic_ranking_loss(
-        score_1, kp_depth_1, kcfg.depth_rank_threshold, valid
+        score_all[:B], kp_depth_1, kcfg.depth_rank_threshold, valid
     )
     intra_2 = pairwise_logistic_ranking_loss(
-        score_2, kp_depth_2, kcfg.depth_rank_threshold, valid
+        score_all[B:], kp_depth_2, kcfg.depth_rank_threshold, valid
     )
     intra_depth_loss = (intra_1 + intra_2) / 2.0
 
-    # 4. cost-volume KL (finetune_timm_mast3r.py:504-540)
-    fc_1 = student.get_feature_cost(params, rgb_1_resized, normalize=False)
-    fc_2 = student.get_feature_cost(params, rgb_2_resized, normalize=False)
+    # 4. cost-volume KL (finetune_timm_mast3r.py:504-540); both views in one
+    # cost forward
+    fc_all = student.get_feature_cost(
+        params, jnp.concatenate([rgb_1_resized, rgb_2_resized], axis=0),
+        normalize=False,
+    )
+    fc_1, fc_2 = fc_all[:B], fc_all[B:]
     hw = (H // ps) * (W // ps)
     fc_1 = l2_normalize(fc_1.reshape(B, hw, -1), axis=-1)
     fc_2 = l2_normalize(fc_2.reshape(B, hw, -1), axis=-1)

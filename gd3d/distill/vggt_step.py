@@ -74,13 +74,16 @@ def vggt_distill_loss(
     rgb_2_resized = resize_bilinear(batch["rgb_2"], (H, W))
 
     # depth losses on the VGGT depth maps (finetune_timm_vggt.py:465-486);
-    # fused forward also yields the matching descriptors for the AP loss.
-    desc_1, kp_feat_1 = student.get_feature_and_intermediates(
-        params, rgb_1_resized, kp_1, n=(4, 5, 6, 7)
+    # one fused forward over both stacked views yields matching descriptors
+    # AND intermediate keypoint features.
+    desc_all, kp_feat_all = student.get_feature_and_intermediates(
+        params,
+        jnp.concatenate([rgb_1_resized, rgb_2_resized], axis=0),
+        jnp.concatenate([kp_1, kp_2], axis=0),
+        n=(4, 5, 6, 7),
     )
-    desc_2, kp_feat_2 = student.get_feature_and_intermediates(
-        params, rgb_2_resized, kp_2, n=(4, 5, 6, 7)
-    )
+    desc_1, desc_2 = desc_all[:B], desc_all[B:]
+    kp_feat_1, kp_feat_2 = kp_feat_all[:B], kp_feat_all[B:]
     kp_depth_1 = jax.vmap(
         lambda d, kp: extract_kp_depth(d, kp[None], kcfg.depth_window)[0]
     )(feats["depth_pred_1"], kp_1)
@@ -92,19 +95,20 @@ def vggt_distill_loss(
     gt_diff = jax.lax.stop_gradient(jnp.tanh(kp_depth_1 - kp_depth_2))
     depth_loss = _masked_mean(jnp.abs(pred_depth_diff - gt_diff), valid)
 
+    score_all = student.pairwise_score_diff(params, kp_feat_all)
     intra_1 = pairwise_logistic_ranking_loss(
-        student.pairwise_score_diff(params, kp_feat_1), kp_depth_1,
-        kcfg.depth_rank_threshold, valid,
+        score_all[:B], kp_depth_1, kcfg.depth_rank_threshold, valid,
     )
     intra_2 = pairwise_logistic_ranking_loss(
-        student.pairwise_score_diff(params, kp_feat_2), kp_depth_2,
-        kcfg.depth_rank_threshold, valid,
+        score_all[B:], kp_depth_2, kcfg.depth_rank_threshold, valid,
     )
     intra_depth_loss = (intra_1 + intra_2) / 2.0
 
     # cost KL at the /14 grid (finetune_timm_vggt.py:488-533)
-    fc_1 = student.get_feature_cost_vggt(params, rgb_1_resized, vp)
-    fc_2 = student.get_feature_cost_vggt(params, rgb_2_resized, vp)
+    fc_all = student.get_feature_cost_vggt(
+        params, jnp.concatenate([rgb_1_resized, rgb_2_resized], axis=0), vp
+    )
+    fc_1, fc_2 = fc_all[:B], fc_all[B:]
     hw = ph * pw
     fc_1 = l2_normalize(fc_1.reshape(B, hw, -1), axis=-1)
     fc_2 = l2_normalize(fc_2.reshape(B, hw, -1), axis=-1)
