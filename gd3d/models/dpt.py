@@ -111,9 +111,11 @@ class DustDPT(nn.Module):
         )(l1)
         l2 = nn.Conv(self.layer_dims[2], (1, 1), name="act_2_proj")(grids[2])
         l3 = nn.Conv(self.layer_dims[3], (1, 1), name="act_3_proj")(grids[3])
+        # torch Conv2d(3, stride=2, padding=1) pads (1, 1); flax SAME would
+        # pad (0, 1) for even sizes — keep torch's windows explicitly
         l3 = nn.Conv(
-            self.layer_dims[3], (3, 3), strides=(2, 2), padding="SAME",
-            name="act_3_down",
+            self.layer_dims[3], (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), name="act_3_down",
         )(l3)
 
         # scratch.layer_rn: 3x3 no-bias projections to feature_dim

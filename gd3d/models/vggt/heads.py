@@ -195,8 +195,9 @@ class VggtDPTHead(nn.Module):
                 x = nn.ConvTranspose(out_ch[1], (2, 2), strides=(2, 2),
                                      padding="VALID", name="resize_1")(x)
             elif idx == 3:
-                x = nn.Conv(out_ch[3], (3, 3), strides=(2, 2), padding="SAME",
-                            name="resize_3")(x)
+                # torch padding=1 semantics (see gd3d/models/dpt.py)
+                x = nn.Conv(out_ch[3], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), name="resize_3")(x)
             feats.append(x)
 
         rn = [
