@@ -108,13 +108,16 @@ def main(argv=None):
         print(df.mean())
 
     if args.transfer:
-        from gd3d.eval.pck import semantic_transfer
+        from gd3d.eval.pck import PASCAL_CATEGORIES, semantic_transfer
 
         np.random.seed(42)
+        cats = (
+            None if args.num_cats is None
+            else PASCAL_CATEGORIES[: args.num_cats]
+        )
         df = semantic_transfer(
             student, params, f"{args.data_root}/PF-dataset-PASCAL",
-            same_view=args.same_view, refine=refine,
-            categories=None if args.num_cats is None else None,
+            same_view=args.same_view, refine=refine, categories=cats,
         )
         df.to_csv(out_dir / "semantic_transfer.csv")
         print(df.mean())
