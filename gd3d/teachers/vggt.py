@@ -181,13 +181,85 @@ def _ls_block(state: Mapping, p: str, qk_norm: bool, ls: bool) -> dict:
     return out
 
 
-def convert_vggt(state: Mapping, cfg: VggtConfig = VggtConfig()) -> dict:
-    """Convert a facebook/VGGT-1B torch state_dict to the gd3d tree.
+def _convert_vggt_dpt(state: Mapping, prefix: str, cfg: VggtConfig,
+                      feature_only: bool = False) -> dict:
+    """VGGT DPTHead params (vggt/heads/dpt_head.py:70-130): norm, per-hook
+    1x1 projects, resize convT/conv layers, scratch rn convs + refinenets
+    (refinenet4 has_residual=False), output convs."""
+    tree: dict = {"norm": _layernorm(state, f"{prefix}.norm")}
+    for i in range(4):
+        tree[f"project_{i}"] = _conv(state, f"{prefix}.projects.{i}")
+    from gd3d.teachers.mast3r import _conv_transpose
 
-    Covers aggregator (+DINOv2 patchifier) and camera/depth/point heads; the
-    track head uses its own sub-layout (converted by convert_vggt_track,
-    same file) — all verified against torch transcriptions in tests.
-    """
+    tree["resize_0"] = _conv_transpose(state, f"{prefix}.resize_layers.0")
+    tree["resize_1"] = _conv_transpose(state, f"{prefix}.resize_layers.1")
+    tree["resize_3"] = _conv(state, f"{prefix}.resize_layers.3")
+    for i in range(4):
+        tree[f"layer_{i}_rn"] = _conv(
+            state, f"{prefix}.scratch.layer{i + 1}_rn"
+        )
+    for i in range(1, 5):
+        rp = f"{prefix}.scratch.refinenet{i}"
+        blk = {
+            "resConfUnit2": {
+                "conv1": _conv(state, f"{rp}.resConfUnit2.conv1"),
+                "conv2": _conv(state, f"{rp}.resConfUnit2.conv2"),
+            },
+            "out_conv": _conv(state, f"{rp}.out_conv"),
+        }
+        if i != 4:  # refinenet4 has_residual=False (dpt_head.py:436-439)
+            blk["resConfUnit1"] = {
+                "conv1": _conv(state, f"{rp}.resConfUnit1.conv1"),
+                "conv2": _conv(state, f"{rp}.resConfUnit1.conv2"),
+            }
+        tree[f"refinenet{i}"] = blk
+    tree["output_conv1"] = _conv(state, f"{prefix}.scratch.output_conv1")
+    if not feature_only:
+        tree["output_conv2_0"] = _conv(state, f"{prefix}.scratch.output_conv2.0")
+        tree["output_conv2_2"] = _conv(state, f"{prefix}.scratch.output_conv2.2")
+    return tree
+
+
+def convert_vggt_camera_head(state: Mapping, cfg: VggtConfig,
+                             prefix: str = "camera_head") -> dict:
+    p = {
+        "token_norm": _layernorm(state, f"{prefix}.token_norm"),
+        "trunk_norm": _layernorm(state, f"{prefix}.trunk_norm"),
+        "empty_pose_tokens": np.asarray(state[f"{prefix}.empty_pose_tokens"]),
+        "embed_pose": _linear(state, f"{prefix}.embed_pose"),
+        # upstream wraps the modulation Linear in Sequential(SiLU, Linear)
+        "poseLN_modulation": _linear(state, f"{prefix}.poseLN_modulation.1")
+        if f"{prefix}.poseLN_modulation.1.weight" in state
+        else _linear(state, f"{prefix}.poseLN_modulation"),
+        "pose_branch": {
+            "fc1": _linear(state, f"{prefix}.pose_branch.fc1"),
+            "fc2": _linear(state, f"{prefix}.pose_branch.fc2"),
+        },
+    }
+    for i in range(cfg.camera_trunk_depth):
+        b = f"{prefix}.trunk.{i}"
+        p[f"trunk_{i}"] = {
+            "norm1": _layernorm(state, f"{b}.norm1"),
+            "norm2": _layernorm(state, f"{b}.norm2"),
+            "attn": {
+                "qkv": _linear(state, f"{b}.attn.qkv"),
+                "proj": _linear(state, f"{b}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": _linear(state, f"{b}.mlp.fc1"),
+                "fc2": _linear(state, f"{b}.mlp.fc2"),
+            },
+            "ls1": {"gamma": np.asarray(state[f"{b}.ls1.gamma"])},
+            "ls2": {"gamma": np.asarray(state[f"{b}.ls2.gamma"])},
+        }
+    return p
+
+
+def convert_vggt(state: Mapping, cfg: VggtConfig = VggtConfig()) -> dict:
+    """Convert a facebook/VGGT-1B torch state_dict to the gd3d tree:
+    aggregator (+DINOv2 patchifier), camera head and depth/point DPT heads
+    (+ the track head's DPT feature extractor when present). The CoTracker
+    update-former sub-layout is converted by convert_vggt_tracker below."""
     from gd3d.teachers.convert import _stack_trees
 
     agg = "aggregator"
@@ -228,4 +300,94 @@ def convert_vggt(state: Mapping, cfg: VggtConfig = VggtConfig()) -> dict:
             },
         },
     }
+    if "camera_head.token_norm.weight" in state:
+        params["camera_head"] = convert_vggt_camera_head(state, cfg)
+    for head in ("depth_head", "point_head"):
+        if f"{head}.norm.weight" in state:
+            params[head] = _convert_vggt_dpt(state, head, cfg)
+    if "track_head.feature_extractor.norm.weight" in state:
+        params["track_head"] = {
+            "feature_extractor": _convert_vggt_dpt(
+                state, "track_head.feature_extractor", cfg, feature_only=True
+            ),
+            "tracker": convert_vggt_tracker(state, cfg),
+        }
     return params
+
+
+def convert_vggt_tracker(state: Mapping, cfg: VggtConfig,
+                         prefix: str = "track_head.tracker") -> dict:
+    """BaseTrackerPredictor params (track_modules/base_track_predictor.py):
+    corr MLP, EfficientUpdateFormer (torch MultiheadAttention packed
+    projections), per-iteration feature updater and vis/conf heads."""
+
+    def mha(p):
+        return {
+            "in_proj_weight": np.asarray(state[f"{p}.in_proj_weight"]),
+            "in_proj_bias": np.asarray(state[f"{p}.in_proj_bias"]),
+            "out_proj": _linear(state, f"{p}.out_proj"),
+        }
+
+    def attn_block(p):
+        return {
+            "norm1": _layernorm(state, f"{p}.norm1"),
+            "norm2": _layernorm(state, f"{p}.norm2"),
+            "attn": mha(f"{p}.attn"),
+            "mlp": {
+                "fc1": _linear(state, f"{p}.mlp.fc1"),
+                "fc2": _linear(state, f"{p}.mlp.fc2"),
+            },
+        }
+
+    def cross_block(p):
+        return {
+            "norm1": _layernorm(state, f"{p}.norm1"),
+            "norm_context": _layernorm(state, f"{p}.norm_context"),
+            "norm2": _layernorm(state, f"{p}.norm2"),
+            "cross_attn": mha(f"{p}.cross_attn"),
+            "mlp": {
+                "fc1": _linear(state, f"{p}.mlp.fc1"),
+                "fc2": _linear(state, f"{p}.mlp.fc2"),
+            },
+        }
+
+    uf = f"{prefix}.updateformer"
+    tree: dict = {
+        "fmap_norm": _layernorm(state, f"{prefix}.fmap_norm"),
+        "ffeat_norm": {
+            "scale": np.asarray(state[f"{prefix}.ffeat_norm.weight"]),
+            "bias": np.asarray(state[f"{prefix}.ffeat_norm.bias"]),
+        },
+        "ffeat_updater": _linear(state, f"{prefix}.ffeat_updater.0"),
+        "vis_predictor": _linear(state, f"{prefix}.vis_predictor.0"),
+        "conf_predictor": _linear(state, f"{prefix}.conf_predictor.0"),
+        "query_ref_token": np.asarray(state[f"{prefix}.query_ref_token"]),
+        "corr_mlp": {
+            "fc1": _linear(state, f"{prefix}.corr_mlp.fc1"),
+            "fc2": _linear(state, f"{prefix}.corr_mlp.fc2"),
+        },
+        "updateformer": {
+            "input_norm": _layernorm(state, f"{uf}.input_norm"),
+            "input_transform": _linear(state, f"{uf}.input_transform"),
+            "output_norm": _layernorm(state, f"{uf}.output_norm"),
+            "flow_head": _linear(state, f"{uf}.flow_head"),
+            # upstream's typo'd name 'virual_tracks' preserved on their side
+            "virtual_tracks": np.asarray(state[f"{uf}.virual_tracks"]),
+        },
+    }
+    for i in range(cfg.track_depth):
+        tree["updateformer"][f"time_{i}"] = attn_block(f"{uf}.time_blocks.{i}")
+    n_space = cfg.track_depth
+    for j in range(n_space):
+        if f"{uf}.space_virtual_blocks.{j}.norm1.weight" not in state:
+            break
+        tree["updateformer"][f"space_{j}"] = attn_block(
+            f"{uf}.space_virtual_blocks.{j}"
+        )
+        tree["updateformer"][f"v2p_{j}"] = cross_block(
+            f"{uf}.space_virtual2point_blocks.{j}"
+        )
+        tree["updateformer"][f"p2v_{j}"] = cross_block(
+            f"{uf}.space_point2virtual_blocks.{j}"
+        )
+    return tree

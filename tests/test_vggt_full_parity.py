@@ -253,42 +253,14 @@ class TCameraHead(nn.Module):
         return torch.cat([T, quat, F.relu(fl)], -1)
 
 
-def _convert_camera_head(state, cfg):
-    p = {
-        "token_norm": _layernorm(state, "token_norm"),
-        "trunk_norm": _layernorm(state, "trunk_norm"),
-        "empty_pose_tokens": np.asarray(state["empty_pose_tokens"]),
-        "embed_pose": _linear(state, "embed_pose"),
-        "poseLN_modulation": _linear(state, "poseLN_modulation"),
-        "pose_branch": {
-            "fc1": _linear(state, "pose_branch.fc1"),
-            "fc2": _linear(state, "pose_branch.fc2"),
-        },
-    }
-    for i in range(cfg.camera_trunk_depth):
-        b = f"trunk.{i}"
-        p[f"trunk_{i}"] = {
-            "norm1": _layernorm(state, f"{b}.norm1"),
-            "norm2": _layernorm(state, f"{b}.norm2"),
-            "attn": {
-                "qkv": _linear(state, f"{b}.attn.qkv"),
-                "proj": _linear(state, f"{b}.attn.proj"),
-            },
-            "mlp": {
-                "fc1": _linear(state, f"{b}.mlp.fc1"),
-                "fc2": _linear(state, f"{b}.mlp.fc2"),
-            },
-            "ls1": {"gamma": np.asarray(state[f"{b}.ls1.gamma"])},
-            "ls2": {"gamma": np.asarray(state[f"{b}.ls2.gamma"])},
-        }
-    return p
-
-
 def test_camera_head_matches_torch():
+    from gd3d.teachers.vggt import convert_vggt_camera_head
+
     torch.manual_seed(1)
     tch = TCameraHead(TINY).eval()
-    state = {k: v.detach().numpy() for k, v in tch.state_dict().items()}
-    params = _convert_camera_head(state, TINY)
+    state = {f"camera_head.{k}": v.detach().numpy()
+             for k, v in tch.state_dict().items()}
+    params = convert_vggt_camera_head(state, TINY)
 
     rng = np.random.RandomState(1)
     tokens = rng.randn(1, 2, 9, 2 * TINY.embed_dim).astype(np.float32)
@@ -301,3 +273,143 @@ def test_camera_head_matches_torch():
         )
     )
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-5)
+
+
+class TVDPT(nn.Module):
+    """Torch transcription of vggt/heads/dpt_head.py (depth-head flavor)."""
+
+    def __init__(self, cfg, output_dim=2):
+        super().__init__()
+        dim_in = 2 * cfg.embed_dim
+        oc = cfg.dpt_out_channels
+        feat = cfg.dpt_features
+        self.norm = nn.LayerNorm(dim_in)
+        self.projects = nn.ModuleList(
+            [nn.Conv2d(dim_in, c, 1) for c in oc]
+        )
+        self.resize_layers = nn.ModuleList([
+            nn.ConvTranspose2d(oc[0], oc[0], 4, 4),
+            nn.ConvTranspose2d(oc[1], oc[1], 2, 2),
+            nn.Identity(),
+            nn.Conv2d(oc[3], oc[3], 3, 2, 1),
+        ])
+        self.scratch = nn.Module()
+        for i, c in enumerate(oc):
+            setattr(self.scratch, f"layer{i + 1}_rn",
+                    nn.Conv2d(c, feat, 3, padding=1, bias=False))
+        from tests.test_mast3r_full_parity import TFusion
+
+        for i in range(1, 5):
+            fb = TFusion(feat)
+            if i == 4:
+                del fb.resConfUnit1
+            setattr(self.scratch, f"refinenet{i}", fb)
+        self.scratch.output_conv1 = nn.Conv2d(feat, feat // 2, 3, padding=1)
+        self.scratch.output_conv2 = nn.Sequential(
+            nn.Conv2d(feat // 2, 32, 3, padding=1), nn.ReLU(),
+            nn.Conv2d(32, output_dim, 1),
+        )
+        self.cfg = cfg
+        self.output_dim = output_dim
+
+    @staticmethod
+    def _pos_embed(x, W, H):
+        pw, ph = x.shape[-1], x.shape[-2]
+        aspect = W / H
+        diag = (aspect**2 + 1.0) ** 0.5
+        sx, sy = aspect / diag, 1.0 / diag
+        xs = torch.linspace(-sx * (pw - 1) / pw, sx * (pw - 1) / pw, pw)
+        ys = torch.linspace(-sy * (ph - 1) / ph, sy * (ph - 1) / ph, ph)
+        uu, vv = torch.meshgrid(xs, ys, indexing="xy")
+        grid = torch.stack([uu, vv], -1)
+
+        def emb1d(dim, pos):
+            omega = torch.arange(dim // 2, dtype=torch.double) / (dim / 2.0)
+            omega = 1.0 / 100.0**omega
+            out = pos.reshape(-1).double()[:, None] * omega[None]
+            return torch.cat([out.sin(), out.cos()], 1)
+
+        C = x.shape[1]
+        emb = torch.cat(
+            [emb1d(C // 2, grid[..., 0]), emb1d(C // 2, grid[..., 1])], 1
+        ).reshape(ph, pw, C).float()
+        return x + 0.1 * emb.permute(2, 0, 1)[None]
+
+    def _fusion(self, fb, x, skip=None, size=None):
+        if skip is not None:
+            x = x + fb._rcu(fb.resConfUnit1, skip)
+        x = fb._rcu(fb.resConfUnit2, x)
+        if size is None:
+            x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                              align_corners=True)
+        else:
+            x = F.interpolate(x, size=size, mode="bilinear",
+                              align_corners=True)
+        return fb.out_conv(x)
+
+    def forward(self, tokens_list, images_hw):
+        cfg = self.cfg
+        H, W = images_hw
+        ph, pw = H // cfg.patch_size, W // cfg.patch_size
+        psi = cfg.patch_start_idx
+        feats = []
+        for idx, hook in enumerate(cfg.dpt_hooks):
+            t = tokens_list[hook][:, :, psi:]
+            B, S, P, C2 = t.shape
+            x = self.norm(t.reshape(B * S, P, C2))
+            x = x.permute(0, 2, 1).reshape(B * S, C2, ph, pw)
+            x = self.projects[idx](x)
+            x = self._pos_embed(x, W, H)
+            x = self.resize_layers[idx](x)
+            feats.append(x)
+        rn = [getattr(self.scratch, f"layer{i + 1}_rn")(f)
+              for i, f in enumerate(feats)]
+        out = self._fusion(self.scratch.refinenet4, rn[3],
+                           size=rn[2].shape[2:])
+        out = self._fusion(self.scratch.refinenet3, out, rn[2],
+                           size=rn[1].shape[2:])
+        out = self._fusion(self.scratch.refinenet2, out, rn[1],
+                           size=rn[0].shape[2:])
+        out = self._fusion(self.scratch.refinenet1, out, rn[0])
+        out = self.scratch.output_conv1(out)
+        out = F.interpolate(out, size=(H, W), mode="bilinear",
+                            align_corners=True)
+        out = self._pos_embed(out, W, H)
+        out = self.scratch.output_conv2(out)
+        out = out.permute(0, 2, 3, 1)
+        pts = out[..., :-1].exp()
+        conf = 1 + out[..., -1].exp()
+        return pts, conf
+
+
+def test_vggt_dpt_head_matches_torch():
+    from gd3d.models.vggt.heads import VggtDPTHead
+    from gd3d.teachers.vggt import _convert_vggt_dpt
+
+    torch.manual_seed(2)
+    tdpt = TVDPT(TINY, output_dim=2).eval()
+    state = {f"depth_head.{k}": v.detach().numpy()
+             for k, v in tdpt.state_dict().items()}
+    params = _convert_vggt_dpt(state, "depth_head", TINY)
+
+    rng = np.random.RandomState(2)
+    tokens = [
+        jnp.asarray(rng.randn(1, 2, 9, 2 * TINY.embed_dim), jnp.float32)
+        for _ in range(TINY.depth)
+    ]
+    with torch.no_grad():
+        tw_pts, tw_conf = tdpt(
+            [torch.from_numpy(np.asarray(t)) for t in tokens], (28, 28)
+        )
+    pts, conf = VggtDPTHead(
+        TINY, output_dim=2, activation="exp", conf_activation="expp1",
+        features=TINY.dpt_features,
+    ).apply({"params": params}, tokens, (28, 28))
+    np.testing.assert_allclose(
+        np.asarray(pts).reshape(2, 28, 28, 1), tw_pts.numpy(),
+        rtol=5e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(conf).reshape(2, 28, 28), tw_conf.numpy(),
+        rtol=5e-3, atol=5e-4,
+    )
