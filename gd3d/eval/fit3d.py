@@ -78,3 +78,30 @@ def compare(
                 refine=False,
             )
     return results
+
+
+def main(argv=None):
+    """CLI: python -m gd3d.eval.fit3d --fit3d-ckpt fit3d.pth [--vanilla-ckpt
+    timm.pth] [--transfer] [--tracking] [--pose]"""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--fit3d-ckpt", required=True)
+    p.add_argument("--vanilla-ckpt", default=None)
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--transfer", action="store_true")
+    p.add_argument("--tracking", action="store_true")
+    p.add_argument("--pose", action="store_true")
+    args = p.parse_args(argv)
+    results = compare(
+        args.fit3d_ckpt, args.vanilla_ckpt, args.data_root,
+        run_transfer=args.transfer, run_tracking=args.tracking,
+        run_pose=args.pose,
+    )
+    for name, df in results.items():
+        print(f"===== {name}")
+        print(df.mean())
+
+
+if __name__ == "__main__":
+    main()

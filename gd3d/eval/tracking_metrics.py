@@ -123,3 +123,53 @@ def compute_tapvid_metrics_for_video(
         pred_occluded[None], pred_tracks[None], query_mode="strided",
     )
     return {k: float(np.asarray(v).item()) for k, v in metrics.items()}
+
+
+def compute_badja_metrics_for_video(
+    trajectories_dict: Dict,
+    benchmark_data: Dict,
+    video_idx: int,
+    pred_video_sizes: Optional[Tuple[int, int]] = None,
+) -> Dict[str, float]:
+    """BADJA segment-based accuracy (utils/tracking_metrics.py:224-285):
+    acc_seg = dist < 0.2*sqrt(mask area), acc_3px = dist < 3, both over
+    visible points of frames t >= 1, x100."""
+    for vc in benchmark_data["videos"]:
+        if vc["video_idx"] == video_idx:
+            video = vc
+            break
+    rx = 1.0 if pred_video_sizes is None else video["w"] / pred_video_sizes[0]
+    ry = 1.0 if pred_video_sizes is None else video["h"] / pred_video_sizes[1]
+
+    pred_tracks, gt_tracks, gt_occluded = [], [], []
+    for frame_idx in video["target_points"]:
+        pred_tracks.append(trajectories_dict[frame_idx])
+        gt_tracks.append(video["target_points"][frame_idx])
+        gt_occluded.append(video["occluded"][frame_idx])
+    pred_tracks = np.concatenate(pred_tracks, 0).astype(np.float64)
+    gt_tracks = np.concatenate(gt_tracks, 0).astype(np.float64)
+    gt_occluded = np.concatenate(gt_occluded, 0)
+    segs = (np.asarray(benchmark_data_get(video, "segmentations")) > 0
+            ).astype(np.float32)
+
+    pred_tracks[..., 0] *= rx
+    pred_tracks[..., 1] *= ry
+
+    accs_seg, accs_3px = [], []
+    for i in range(gt_tracks.shape[0]):
+        for t in range(1, segs.shape[0]):
+            if gt_occluded[i, t]:
+                continue
+            thr = 0.2 * np.sqrt(segs[t].sum())
+            dist = np.linalg.norm(pred_tracks[i, t] - gt_tracks[i, t])
+            accs_seg.append(float(dist < thr))
+            accs_3px.append(float(dist < 3.0))
+    return {
+        "accuracy_seg": float(np.mean(accs_seg) * 100.0),
+        "accuracy_3px": float(np.mean(accs_3px) * 100.0),
+        "video_idx": int(video_idx),
+    }
+
+
+def benchmark_data_get(video: Dict, key: str):
+    return video[key]
