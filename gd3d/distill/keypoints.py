@@ -88,15 +88,19 @@ def reciprocal_nn_grid(
     xy1_init = subsample_grid_indices(H, W, subsample)
     G = xy1_init.shape[0]
 
-    def body(carry, _):
-        xy1, xy2, old_xy1, old_xy2, notyet = carry
+    def cond(carry):
+        _, _, _, _, notyet, it = carry
+        return jnp.logical_and(jnp.any(notyet), it < max_iter)
+
+    def body(carry):
+        xy1, xy2, old_xy1, old_xy2, notyet, it = carry
         new_xy2 = blockwise_argmax_dot(d1[xy1], d2)
         xy2 = jnp.where(notyet, new_xy2, xy2)
         notyet = notyet & (old_xy2 != xy2)
         new_xy1 = blockwise_argmax_dot(d2[xy2], d1)
         xy1 = jnp.where(notyet, new_xy1, xy1)
         notyet = notyet & (old_xy1 != xy1)
-        return (xy1, xy2, xy1, xy2, notyet), None
+        return (xy1, xy2, xy1, xy2, notyet, it + 1)
 
     init = (
         xy1_init,
@@ -104,8 +108,11 @@ def reciprocal_nn_grid(
         xy1_init,
         jnp.full((G,), -1, jnp.int32),
         jnp.ones((G,), bool),
+        jnp.int32(0),
     )
-    (xy1, xy2, _, _, notyet), _ = jax.lax.scan(body, init, None, length=max_iter)
+    # early-exit while_loop: typically converges in ~3 iterations, matching
+    # the reference's `while notyet.any()` with max_iter=10 (fast_nn:152-168)
+    xy1, xy2, _, _, notyet, _ = jax.lax.while_loop(cond, body, init)
     return xy1, xy2, ~notyet
 
 
