@@ -22,6 +22,9 @@ from gd3d.ops.geometry import query_pose_error
 from gd3d.ops.interpolate import interpolate_features
 
 
+_DESC_JIT_CACHE: dict = {}
+
+
 def frame_descriptors(
     student: Student,
     params: dict,
@@ -29,25 +32,36 @@ def frame_descriptors(
     kps: np.ndarray,
     refine: bool = True,
 ) -> np.ndarray:
-    """Descriptors at pixel keypoints of the ORIGINAAL frame.
+    """Descriptors at pixel keypoints of the ORIGINAL frame.
 
     Matches evaluate_timm.py:91-107: resize to (h//8*16, w//8*16), dense
     forward (ImageNet norm), refine_conv, interpolate at kp * 16/8,
-    L2-normalize."""
+    L2-normalize. The compute is one jitted program per (student, frame
+    geometry, kp count)."""
+    import jax
+
     h, w = rgb.shape[:2]
     ps = student.cfg.patch_size
     rh, rw = h // 8 * ps, w // 8 * ps
     img = cv2.resize(rgb.astype(np.float64) / 255.0, (rw, rh))
-    grid = student.dense_grid_features(
-        params, jnp.asarray(img[None], jnp.float32), refine=refine
-    )  # (1, h//8, w//8, C)
-    desc = interpolate_features(
-        grid.transpose(0, 3, 1, 2),
-        jnp.asarray(kps[None].astype(np.float32)) / 8.0 * ps,
-        h=rh, w=rw, normalize=False, patch_size=ps, stride=ps,
-    )[0].T  # (N, C)
-    desc = np.asarray(desc)
-    return desc / (np.linalg.norm(desc, axis=-1, keepdims=True) + 1e-9)
+
+    key = (id(student), rh, rw, len(kps), refine)
+    if key not in _DESC_JIT_CACHE:
+        @jax.jit
+        def fn(p, x, k):
+            grid = student.dense_grid_features(p, x, refine=refine)
+            d = interpolate_features(
+                grid.transpose(0, 3, 1, 2), k / 8.0 * ps,
+                h=rh, w=rw, normalize=False, patch_size=ps, stride=ps,
+            )[0].T
+            return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+
+        _DESC_JIT_CACHE[key] = fn
+    desc = _DESC_JIT_CACHE[key](
+        params, jnp.asarray(img[None], jnp.float32),
+        jnp.asarray(kps[None].astype(np.float32)),
+    )
+    return np.asarray(desc)
 
 
 def mutual_nn_match(

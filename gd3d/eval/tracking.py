@@ -28,15 +28,20 @@ def video_features(
     refine: bool = True,
 ) -> np.ndarray:
     """frames (T, H, W, 3) float [0,1] -> (T, gh, gw, C) stride-(patch/2)
-    features (evaluate_timm.py:259-281)."""
+    features (evaluate_timm.py:259-281). One jitted program reused for all
+    frames."""
+    import jax
+
     ps = student.cfg.patch_size
     stride = ps // 2
+    fn = jax.jit(
+        lambda p, x: student.dense_grid_features(
+            p, x, stride=stride, refine=refine
+        )
+    )
     feats = []
     for t in range(frames.shape[0]):
-        g = student.dense_grid_features(
-            params, jnp.asarray(frames[t : t + 1]), stride=stride,
-            refine=refine,
-        )
+        g = fn(params, jnp.asarray(frames[t : t + 1]))
         feats.append(np.asarray(g[0]))
     return np.stack(feats)
 

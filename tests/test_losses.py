@@ -169,3 +169,27 @@ def test_ap_loss_me_matches_reference():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_intra_depth_margin_loss():
+    """Margin variant (utils/losses.py:44-69) vs numpy loop."""
+    from gd3d.ops import intra_depth_margin_loss
+
+    rng = np.random.RandomState(7)
+    B, N = 1, 8
+    pred = rng.randn(B, N, N).astype(np.float32) * 0.3
+    depths = rng.rand(B, N).astype(np.float32)
+    margin, thr = 0.05, 0.05
+    losses = []
+    for i in range(N):
+        for j in range(N):
+            gt = np.tanh(depths[0, i] - depths[0, j])
+            if abs(gt) > thr:
+                losses.append(max(0.0, margin - np.sign(gt) * pred[0, i, j]))
+    want = np.mean(losses)
+    got = float(
+        intra_depth_margin_loss(
+            jnp.asarray(pred), jnp.asarray(depths), margin, thr
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
