@@ -229,6 +229,29 @@ def build_mast3r_train_step(
     return train_step
 
 
+def build_mast3r_train_multistep(
+    student: Student,
+    teacher: Mast3rTeacher,
+    cfg: DistillConfig,
+    tx: optax.GradientTransformation,
+    has_depth: bool,
+) -> Callable:
+    """K optimizer steps per dispatch: lax.scan over a (K, ...) batch stack.
+
+    Amortizes per-step host dispatch/sync (one XLA program per K pairs); the
+    metrics come back stacked (K,)."""
+    step = build_mast3r_train_step(student, teacher, cfg, tx, has_depth)
+
+    def multi_step(state, frozen, teacher_params, batches, temperature):
+        def body(s, batch):
+            s, metrics = step(s, frozen, teacher_params, batch, temperature)
+            return s, metrics
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 def temperature_schedule(cfg: DistillConfig, epoch: int) -> float:
     """init -> final linear over max_epochs (finetune_timm_mast3r.py:217-224)."""
     t = cfg.train
