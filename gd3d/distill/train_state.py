@@ -26,7 +26,7 @@ class TrainState:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
             learning_rate=cfg.lr,
@@ -36,6 +36,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             weight_decay=cfg.weight_decay,
         ),
     )
+    if cfg.grad_accum > 1:
+        # accumulate_grad_batches (finetune_timm_mast3r.py:759)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 def init_state(tx: optax.GradientTransformation, trainable) -> TrainState:
