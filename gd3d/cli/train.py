@@ -79,7 +79,7 @@ def main(argv=None):
 
     from gd3d.core import config as cfglib
     from gd3d.core.checkpoint import save_checkpoint
-    from gd3d.core.mesh import make_mesh, replicated, shard_batch
+    from gd3d.core.mesh import make_mesh, shard_batch
     from gd3d.data.synthetic import synthetic_me_batch
     from gd3d.distill import build_me_train_step, make_optimizer
     from gd3d.distill.train_state import init_state

@@ -12,7 +12,7 @@ NHWC numpy outputs (the reference is NCHW torch).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple, Union
+from typing import Dict, List, Sequence, Union
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,7 @@ poses, projected keypoints, noise images. Used by the dev-mode smoke run
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -35,7 +35,6 @@ from gd3d.ops.geometry import extract_kp_depth, point_cloud_to_depth
 from gd3d.ops.losses import (
     _masked_mean,
     ap_loss_paired,
-    kl_divergence_map,
     pairwise_logistic_ranking_loss,
 )
 from gd3d.ops.masks import masked_patch_cost, patch_mask_from_kps

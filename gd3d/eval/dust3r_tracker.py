@@ -8,7 +8,6 @@ live in the source camera frame). Pair predictions are cached.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Tuple
 
 import jax

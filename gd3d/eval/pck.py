@@ -9,7 +9,7 @@ source keypoint features sampled with patch-center alignment, argmax over
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ trajectories for ALL (query, frame) pairs in one shot, anchor cycles as one
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Tuple
 

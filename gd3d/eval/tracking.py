@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pickle
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

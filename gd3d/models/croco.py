@@ -14,8 +14,6 @@ the distillation cost volume. All LayerNorms eps 1e-6, GELU exact.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ numpy, SURVEY.md §3.2 flags it as a device->host boundary).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ but float positions), vggt/layers/mlp.py, vggt/layers/layer_scale.py.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

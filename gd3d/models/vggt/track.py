@@ -14,7 +14,7 @@ vmapped over tracks (SURVEY.md §7 hard-part 4).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ numerically identical to the reference formula.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

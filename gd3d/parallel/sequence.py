@@ -13,12 +13,11 @@ regime), and a CPU-mesh test exercises both against single-device attention.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gd3d.core.mesh import DATA_AXIS
 
