@@ -33,17 +33,24 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard leading (batch) dim over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: int = 0) -> NamedSharding:
+    """Shard dim `axis` (the batch dim) over the data axis, replicate the rest."""
+    spec = [None] * ndim
+    spec[axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device_put a pytree of host arrays with batch-dim sharding."""
+def shard_batch(mesh: Mesh, batch, axis: int = 0):
+    """Device_put a pytree of host arrays with batch-dim sharding.
+
+    `axis` selects which dim is the batch dim — the multistep scan trainer
+    stacks K step-batches on a new leading axis, so its batch dim is axis 1.
+    """
     def _put(x):
-        return jax.device_put(x, data_sharding(mesh, ndim=max(1, x.ndim)))
+        return jax.device_put(
+            x, data_sharding(mesh, ndim=max(1, x.ndim), axis=axis))
     return jax.tree_util.tree_map(_put, batch)
