@@ -12,6 +12,7 @@ ratio against BASELINE.json's 2000 pairs/s/chip north star.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -38,7 +39,9 @@ def main() -> None:
 
     cfg = DistillConfig(teacher="mast3r", dataset="scannetpp")
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
-    BATCH, K = 1, 8  # pairs per step, optimizer steps per dispatch
+    # pairs per step, optimizer steps per dispatch (env-overridable for sweeps)
+    BATCH = int(os.environ.get("GD3D_BENCH_BATCH", "1"))
+    K = int(os.environ.get("GD3D_BENCH_K", "8"))
 
     student = Student(cfg.student)
     params = student.init(jax.random.key(0), img_size=64)

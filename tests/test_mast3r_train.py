@@ -114,3 +114,40 @@ def test_temperature_schedule():
     assert abs(temperature_schedule(cfg, cfg.train.max_epochs) - 0.5) < 1e-6
     mid = temperature_schedule(cfg, cfg.train.max_epochs // 2)
     assert 0.5 < mid < 1.0
+
+
+def test_multistep_matches_sequential_steps():
+    """K steps per dispatch == K sequential dispatches (bit-for-bit state)."""
+    from gd3d.distill.mast3r_step import build_mast3r_train_multistep
+
+    student, teacher, state, frozen, tparams, tx = _setup()
+    step = jax.jit(
+        build_mast3r_train_step(student, teacher, CFG, tx, has_depth=False)
+    )
+    multi = jax.jit(
+        build_mast3r_train_multistep(student, teacher, CFG, tx,
+                                     has_depth=False)
+    )
+    K = 2
+    batches = [_batch(np.random.RandomState(10 + i)) for i in range(K)]
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+
+    s_seq = state
+    seq_losses = []
+    for b in batches:
+        s_seq, m = step(s_seq, frozen, tparams, b, 1.0)
+        seq_losses.append(float(m["loss"]))
+
+    s_multi, m_multi = multi(state, frozen, tparams, stacked, 1.0)
+    assert m_multi["loss"].shape == (K,)
+    np.testing.assert_allclose(
+        np.asarray(m_multi["loss"]), np.asarray(seq_losses), rtol=2e-5
+    )
+    assert int(s_multi.step) == K
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_seq.trainable),
+        jax.tree_util.tree_leaves(s_multi.trainable),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
