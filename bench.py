@@ -41,7 +41,7 @@ def main() -> None:
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
     # pairs per step, optimizer steps per dispatch (env-overridable for sweeps)
     BATCH = int(os.environ.get("GD3D_BENCH_BATCH", "1"))
-    K = int(os.environ.get("GD3D_BENCH_K", "8"))
+    K = int(os.environ.get("GD3D_BENCH_K", "16"))
 
     student = Student(cfg.student)
     params = student.init(jax.random.key(0), img_size=64)
