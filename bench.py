@@ -5,9 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The step matches FinetuneMASt3RTIMM.training_step at ScanNet++ geometry
 (512x336 teacher frames, 512^2 student frames): frozen MASt3R ViT-L
 symmetric inference with cost-volume export, on-device reciprocal-NN
-keypoint pipeline, 6 student forwards (ViT-B at effective stride 8) + the
-three distillation losses + adapter-only AdamW update. vs_baseline is the
-ratio against BASELINE.json's 2000 pairs/s/chip north star.
+keypoint pipeline, fused student forwards (ViT-B at effective stride 8;
+the reference's 6 passes batched into 2) + the three distillation losses +
+adapter-only AdamW update, K=16 optimizer steps per XLA dispatch
+(lax.scan). vs_baseline is the ratio against BASELINE.json's
+2000 pairs/s/chip north star.
 """
 from __future__ import annotations
 
