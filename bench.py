@@ -40,6 +40,11 @@ def main() -> None:
     from gd3d.teachers.mast3r import Mast3rTeacher
 
     cfg = DistillConfig(teacher="mast3r", dataset="scannetpp")
+    # fp32 teacher is the parity default (the reference runs MASt3R fp32);
+    # GD3D_BENCH_TEACHER_DTYPE=bfloat16 benches the production-throughput mode
+    td = os.environ.get("GD3D_BENCH_TEACHER_DTYPE")
+    if td:
+        cfg = cfg.replace(teacher_dtype=td)
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
     # pairs per step, optimizer steps per dispatch (env-overridable for sweeps)
     BATCH = int(os.environ.get("GD3D_BENCH_BATCH", "1"))
