@@ -51,6 +51,25 @@ class StudentConfig:
     # trade to fit larger pair batches; jax.checkpoint on the scan bodies)
     remat: bool = False
 
+    # matmul/conv compute dtype ("float32" | "bfloat16"). bf16 runs the MXU
+    # at 2x; params stay fp32 masters, LayerNorms and the residual stream
+    # stay fp32, losses are always fp32 — the TPU analogue of the reference's
+    # AMP autocast (src/finetune_timm_mast3r.py:758).
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        if self.compute_dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.compute_dtype == "float32":
+            return jnp.float32
+        raise ValueError(
+            f"compute_dtype must be 'float32' or 'bfloat16', got "
+            f"{self.compute_dtype!r}"
+        )
+
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
@@ -161,8 +180,12 @@ class DistillConfig:
     # numeric policy: teacher trunk dtype ("float32" | "bfloat16").
     # Reference parity: MASt3R runs fp32, VGGT's aggregator runs bf16
     # autocast (finetune_timm_vggt.py:359); losses/eval always fp32.
+    # The student-side policy lives on StudentConfig.compute_dtype.
     teacher_dtype: str = "float32"
-    student_dtype: str = "float32"
+
+    @property
+    def student_dtype(self) -> str:
+        return self.student.compute_dtype
 
     def replace(self, **kw) -> "DistillConfig":
         return dataclasses.replace(self, **kw)

@@ -125,12 +125,13 @@ def layernorm_apply(ln_params: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 class Mlp(nn.Module):
     dim: int
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)  # timm GELU is exact erf
-        x = nn.Dense(self.dim, name="fc2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -144,26 +145,31 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
-        qkv = nn.Dense(3 * self.dim, use_bias=True, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype, name="qkv")(x)
         if self.lora_rank > 0:
             a_init = torch_linear_init(self.dim)
             a_q = nn.Dense(
-                self.lora_rank, use_bias=False, kernel_init=a_init, name="lora_a_q"
+                self.lora_rank, use_bias=False, kernel_init=a_init,
+                dtype=self.dtype, name="lora_a_q",
             )(x)
             new_q = nn.Dense(
                 self.dim, use_bias=False,
-                kernel_init=nn.initializers.zeros, name="lora_b_q",
+                kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="lora_b_q",
             )(a_q)
             a_v = nn.Dense(
-                self.lora_rank, use_bias=False, kernel_init=a_init, name="lora_a_v"
+                self.lora_rank, use_bias=False, kernel_init=a_init,
+                dtype=self.dtype, name="lora_a_v",
             )(x)
             new_v = nn.Dense(
                 self.dim, use_bias=False,
-                kernel_init=nn.initializers.zeros, name="lora_b_v",
+                kernel_init=nn.initializers.zeros, dtype=self.dtype,
+                name="lora_b_v",
             )(a_v)
             qkv = qkv.at[..., : self.dim].add(new_q)
             qkv = qkv.at[..., 2 * self.dim :].add(new_v)
@@ -174,7 +180,7 @@ class Attention(nn.Module):
 
         out = scaled_dot_attention(q, k, v, scale=head_dim**-0.5)
         out = out.reshape(B, N, C)
-        return nn.Dense(self.dim, use_bias=True, name="proj")(out)
+        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(out)
 
 
 class Adapter(nn.Module):
@@ -182,17 +188,20 @@ class Adapter(nn.Module):
 
     dim: int
     bottleneck: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(
             self.bottleneck, use_bias=False,
-            kernel_init=torch_linear_init(self.dim), name="down",
+            kernel_init=torch_linear_init(self.dim), dtype=self.dtype,
+            name="down",
         )(x)
         h = nn.relu(h)
         return nn.Dense(
             self.dim, use_bias=False,
-            kernel_init=torch_linear_init(self.bottleneck), name="up",
+            kernel_init=torch_linear_init(self.bottleneck), dtype=self.dtype,
+            name="up",
         )(h)
 
 
@@ -205,18 +214,29 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, _scan_input=None):
         cfg = self.cfg
+        # Mixed precision: matmuls/convs run at cfg.dtype (bf16 on the MXU
+        # when compute_dtype="bfloat16"); LayerNorms and the residual stream
+        # stay fp32 (pos-embed add promotes the stream to fp32, and every
+        # residual add re-promotes the bf16 branch output).
         y = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="norm1")(x)
         x = x + Attention(
             cfg.embed_dim,
             cfg.num_heads,
             lora_rank=cfg.lora_rank if self.lora else 0,
+            dtype=cfg.dtype,
             name="attn",
         )(y)
         y = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="norm2")(x)
-        x = x + Mlp(cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio), name="mlp")(y)
+        x = x + Mlp(
+            cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio),
+            dtype=cfg.dtype, name="mlp",
+        )(y)
         if self.adapter:
             # BlockWithAdapter (utils/model.py:17-25): out + adapter(out)
-            x = x + Adapter(cfg.embed_dim, cfg.adapter_bottleneck, name="adapter")(x)
+            x = x + Adapter(
+                cfg.embed_dim, cfg.adapter_bottleneck, dtype=cfg.dtype,
+                name="adapter",
+            )(x)
         if self.scanned:
             return x, x
         return x
@@ -255,6 +275,7 @@ class ViT(nn.Module):
             kernel_size=(ps, ps),
             strides=(stride, stride),
             padding="VALID",
+            dtype=cfg.dtype,
             name="patch_embed",
         )(imgs)
         gh, gw = x.shape[1], x.shape[2]
