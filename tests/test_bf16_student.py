@@ -7,6 +7,7 @@ tests pin (a) params and outputs stay fp32, (b) the bf16 forward tracks the
 fp32 forward closely, (c) a full ME train step's loss moves by <1% — the
 PCK-affecting-numerics guard VERDICT.md item 3 asks for.
 """
+import pytest
 import dataclasses
 
 import jax
@@ -90,6 +91,7 @@ def _me_step_loss(compute_dtype):
     return float(metrics["loss"])
 
 
+@pytest.mark.slow
 def test_bf16_me_train_step_loss_delta():
     l32 = _me_step_loss("float32")
     l16 = _me_step_loss("bfloat16")

@@ -1,6 +1,7 @@
 """Reference Lightning checkpoint interop: fabricate a .ckpt with the
 reference's on_save_checkpoint layout (finetune_timm_mast3r.py:172-191),
 load + import it, and verify the adapter weights land in the right slots."""
+import pytest
 import jax
 import numpy as np
 import torch
@@ -20,6 +21,7 @@ CFG = StudentConfig(
 )
 
 
+@pytest.mark.slow
 def test_lightning_checkpoint_roundtrip(tmp_path):
     student = Student(CFG)
     params = student.init(jax.random.key(0), img_size=32)

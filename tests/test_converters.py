@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gd3d.models.croco import CrocoConfig
 from gd3d.models.mast3r import Mast3r, Mast3rConfig
 from gd3d.models.vggt.config import VggtConfig

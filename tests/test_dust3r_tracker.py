@@ -1,3 +1,6 @@
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import numpy as np
 

@@ -1,5 +1,6 @@
 """End-to-end eval drivers on fabricated on-disk datasets: TAP-Vid tracking
 (video dir + benchmark pkl) and OnePose (templates + test sequences)."""
+import pytest
 import json
 import pickle
 
@@ -19,6 +20,7 @@ SMALL = StudentConfig(
 )
 
 
+@pytest.mark.slow
 def test_tracking_driver(tmp_path):
     rng = np.random.RandomState(0)
     T, H, W = 3, 96, 128

@@ -3,6 +3,9 @@ AsymmetricMASt3R graph (encoder, dual decoder, DPT + catmlp head,
 reciprocity/temperature cost export) with upstream state_dict names, run
 against the flax model with converted weights. Locks teacher numerical
 parity end-to-end (SURVEY.md §7 hard-part 1)."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import math
 
 import jax

@@ -1,4 +1,5 @@
 """MASt3R flax stack: torch block-level parity + tiny end-to-end smoke."""
+import pytest
 import dataclasses
 
 import jax
@@ -175,6 +176,7 @@ def test_encoder_block_matches_torch():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_decoder_block_matches_torch():
     torch.manual_seed(1)
     dim, heads = 16, 2
@@ -227,6 +229,7 @@ def test_pixel_shuffle_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_mast3r_tiny_end_to_end():
     cfg = Mast3rConfig(croco=TINY, local_feat_dim=6, dpt_feature_dim=32,
                        dpt_last_dim=16)

@@ -1,4 +1,5 @@
 """End-to-end MASt3R distillation step on tiny models (CPU)."""
+import pytest
 import dataclasses
 
 import jax
@@ -66,6 +67,7 @@ def _setup():
     return student, teacher, state, frozen, tparams, tx
 
 
+@pytest.mark.slow
 def test_mast3r_step_scannetpp_path():
     student, teacher, state, frozen, tparams, tx = _setup()
     step = jax.jit(
@@ -83,6 +85,7 @@ def test_mast3r_step_scannetpp_path():
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_mast3r_step_objaverse_depth_path():
     student, teacher, state, frozen, tparams, tx = _setup()
     step = jax.jit(
@@ -93,6 +96,7 @@ def test_mast3r_step_objaverse_depth_path():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_gradients_flow_only_to_trainable():
     student, teacher, state, frozen, tparams, tx = _setup()
     step = jax.jit(
@@ -116,6 +120,7 @@ def test_temperature_schedule():
     assert 0.5 < mid < 1.0
 
 
+@pytest.mark.slow
 def test_multistep_matches_sequential_steps():
     """K steps per dispatch == K sequential dispatches (bit-for-bit state)."""
     from gd3d.distill.mast3r_step import build_mast3r_train_multistep

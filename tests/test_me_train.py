@@ -1,5 +1,6 @@
 """End-to-end ME training slice: jitted step, DP sharding on a CPU mesh,
 frozen/trainable separation, reference checkpoint layout roundtrip."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +46,7 @@ def _to_jnp(batch):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+@pytest.mark.slow
 def test_me_train_step_runs_and_updates_only_trainable():
     _, state, frozen, step_fn = setup()
     step_jit = jax.jit(step_fn)
@@ -69,6 +71,7 @@ def test_me_train_step_runs_and_updates_only_trainable():
     assert int(state3.step) == 2
 
 
+@pytest.mark.slow
 def test_me_train_step_data_parallel_mesh():
     """DP over the 8-device CPU mesh: batch sharded, state replicated."""
     _, state, frozen, step_fn = setup()

@@ -1,5 +1,6 @@
 """Ring / all-gather-KV sequence-parallel attention vs single-device
 attention on the 8-device CPU mesh."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +21,7 @@ def _data(B=1, N=64, H=2, D=8, seed=0):
     return mk(), mk(), mk()
 
 
+@pytest.mark.slow
 def test_ring_attention_matches_reference():
     mesh = make_mesh()  # 8 x 1
     q, k, v = _data()

@@ -1,4 +1,5 @@
 """Student wrapper: feature APIs, depth head pairwise trick, param split."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +28,7 @@ def make_student():
     return s, params
 
 
+@pytest.mark.slow
 def test_get_feature_shapes():
     s, params = make_student()
     rgbs = jnp.asarray(np.random.RandomState(0).rand(1, 48, 64, 3), jnp.float32)
@@ -48,6 +50,7 @@ def test_get_feature_cost_shape():
     assert cost_feat.shape == (1, 4, 6, 32)
 
 
+@pytest.mark.slow
 def test_get_intermediate_feature():
     s, params = make_student()
     rgbs = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3), jnp.float32)
@@ -94,6 +97,7 @@ def test_split_params_trainable_only():
         assert "depth_diff_head" not in name and "refine_conv" not in name
 
 
+@pytest.mark.slow
 def test_dense_grid_features_stride_override():
     s, params = make_student()
     rgbs = jnp.asarray(np.random.RandomState(6).rand(1, 48, 48, 3), jnp.float32)

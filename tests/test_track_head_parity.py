@@ -1,6 +1,9 @@
 """BaseTrackerPredictor torch parity at tiny scale: corr pyramid sampling,
 EfficientUpdateFormer (torch MultiheadAttention), iterative refinement —
 validates convert_vggt_tracker end-to-end."""
+import pytest
+
+pytestmark = pytest.mark.slow
 import math
 
 import jax

@@ -1,4 +1,5 @@
 """VGGT stack: tiny end-to-end smoke + geometry/pose parity vs torch."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +93,7 @@ def test_unproject_identity_camera():
     np.testing.assert_allclose(world[2, 4], [0.2, 0.0, 2.0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vggt_tiny_forward():
     model = Vggt(TINY)
     imgs = jnp.asarray(
@@ -118,6 +120,7 @@ def test_vggt_tiny_forward():
     )
 
 
+@pytest.mark.slow
 def test_vggt_distill_step():
     cfg = DistillConfig(
         teacher="vggt",

@@ -1,6 +1,7 @@
 """Cross-check the flax ViT against a torch transcription of timm's
 VisionTransformer semantics (pre-norm blocks, exact GELU, dynamic-size
 bicubic pos-embed resampling), using the weight converter."""
+import pytest
 import math
 
 import jax
@@ -111,6 +112,7 @@ def _flax_params_from_torch(tvit):
     return graft_pretrained_vit(fresh, converted)
 
 
+@pytest.mark.slow
 def test_vit_matches_torch_native_size():
     torch.manual_seed(0)
     tvit = TViT(CFG).eval()
