@@ -16,34 +16,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gd3d.core.mesh import MODEL_AXIS
 
+# column-parallel: output dim sharded, no collective needed on the way in.
+# projq/projk/projv are croco cross-attention's separate q/k/v projections
+# (gd3d/models/croco.py); lora_b_ pairs with the replicated lora_a_.
+_COL = ("qkv", "fc1", "lora_b_", "projq", "projk", "projv")
+# row-parallel: input (contracted) dim sharded; XLA all-reduces the output.
+_ROW = ("proj/", "fc2")
+
 
 def vit_tp_rules(path: Tuple[str, ...], leaf) -> P:
-    """PartitionSpec for one param leaf of a ViT-family tree."""
+    """PartitionSpec for one param leaf of a ViT-family tree.
+
+    Stacked (nn.scan weight-stacked) layers are detected by ndim, not by
+    container name: a Dense kernel is (in, out) at ndim 2 and (L, in, out)
+    at ndim 3; biases (out,) / (L, out). Conv kernels (ndim 4+) and
+    LayerNorm/LayerScale params never match and stay replicated.
+    """
     names = [str(getattr(k, "key", k)) for k in path]
     joined = "/".join(names)
     if leaf is None:
         return P()
     ndim = getattr(leaf, "ndim", 0)
-    # nn.scan weight stacking adds a leading layer axis (kernels become
-    # (L, in, out), biases (L, out)); the layer axis stays unsharded.
-    stacked = any(m in joined for m in ("blocks_plain", "blocks_adapt",
-                                        "blocks/", "scan"))
-    kdim = 3 if stacked else 2
-    bdim = 2 if stacked else 1
-    lead = (None,) if stacked else ()
-    if "kernel" in joined and ndim == kdim:
-        if any(m in joined for m in ("qkv", "fc1", "lora_b_")):
+    if "kernel" in joined and ndim in (2, 3):
+        lead = (None,) if ndim == 3 else ()
+        if any(m in joined for m in _COL):
             return P(*lead, None, MODEL_AXIS)  # column parallel
-        if any(m in joined for m in ("proj/", "fc2")) or joined.endswith("proj/kernel"):
+        if any(m in joined for m in _ROW) or joined.endswith("proj/kernel"):
             return P(*lead, MODEL_AXIS, None)  # row parallel
-    if "bias" in joined and ndim == bdim:
-        if any(m in joined for m in ("qkv", "fc1")):
+    if "bias" in joined and ndim in (1, 2):
+        lead = (None,) if ndim == 2 else ()
+        if any(m in joined for m in _COL):
             return P(*lead, MODEL_AXIS)
     return P()
 
 
 def apply_tp_sharding(params, mesh: Mesh):
-    """device_put a param tree with TP rules over `mesh` (replicate the rest)."""
+    """device_put a param tree with TP rules over `mesh` (replicate the rest).
+
+    Leaves whose to-be-sharded dim is not divisible by the model-axis size
+    fall back to replicated — tiny test configs and odd head dims stay
+    correct instead of erroring.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
     leaves = []
@@ -52,5 +66,9 @@ def apply_tp_sharding(params, mesh: Mesh):
             leaves.append(None)
             continue
         spec = vit_tp_rules(path, leaf)
+        for dim, s in enumerate(spec):
+            if s == MODEL_AXIS and leaf.shape[dim] % n_model != 0:
+                spec = P()
+                break
         leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, leaves)
