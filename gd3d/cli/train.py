@@ -26,13 +26,8 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="finetune_timm_me_objaverse",
-                   choices=[
-                       "finetune_timm_me_objaverse",
-                       "finetune_timm_mast3r_scannetpp",
-                       "finetune_timm_mast3r_objaverse",
-                       "finetune_timm_vggt_scannetpp",
-                       "finetune_timm_vggt_objaverse",
-                   ])
+                   help="named config (gd3d/core/config.py NAMED_CONFIGS / "
+                        "gd3d/configs/<name>.yaml) or a path to a .yaml")
     p.add_argument("--data-root", default="data")
     p.add_argument("--output", default=None)
     p.add_argument("--epochs", type=int, default=None)
@@ -56,6 +51,15 @@ def parse_args(argv=None):
                         "the v5e bench at K=8)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also mirror step metrics to TensorBoard (tf.summary)")
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="override cfg.train.eval_every_epochs (default 10)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume from a save_train_state checkpoint dir (e.g. "
+                        "<run>/last); restores adapters + optimizer + epoch")
+    p.add_argument("--workers", type=int, default=0,
+                   help="grain worker processes for the host pipeline "
+                        "(0 = threaded prefetch only; the reference uses 10 "
+                        "DataLoader workers, finetune_timm_mast3r.py:232-240)")
     return p.parse_args(argv)
 
 
@@ -82,15 +86,20 @@ def main(argv=None):
         import tensorflow as tf  # baked in; used only for summaries
 
     from gd3d.core import config as cfglib
-    from gd3d.core.checkpoint import save_checkpoint
+    from gd3d.core.checkpoint import (
+        restore_train_state,
+        save_checkpoint,
+        save_train_state,
+    )
     from gd3d.core.mesh import make_mesh, shard_batch
+    from gd3d.data.loader import PrefetchIterator
     from gd3d.data.synthetic import synthetic_me_batch
     from gd3d.distill import build_me_train_step, make_optimizer
     from gd3d.distill.train_state import init_state
     from gd3d.models.student import Student, split_params
     from gd3d.teachers.convert import convert_timm_vit, graft_pretrained_vit
 
-    cfg = cfglib.NAMED_CONFIGS[args.config]()
+    cfg = cfglib.resolve_config(args.config)
     if args.tiny:
         cfg = cfg.replace(
             student=cfglib.StudentConfig(
@@ -103,6 +112,9 @@ def main(argv=None):
     if args.epochs:
         cfg = cfg.replace(train=cfg.train.__class__(
             **{**cfg.train.__dict__, "max_epochs": args.epochs}))
+    if args.eval_every:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "eval_every_epochs": args.eval_every}))
     epochs = 1 if args.dev else cfg.train.max_epochs
     steps = 2 if args.dev else args.steps_per_epoch
 
@@ -130,19 +142,15 @@ def main(argv=None):
     tx = make_optimizer(cfg.train)
     state = init_state(tx, trainable)
 
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = restore_train_state(args.resume, state)
+        print(f"resumed from {args.resume}; continuing at epoch {start_epoch}")
+
     # ----- teacher + step builder ---------------------------------------
     teacher_params = None
     if cfg.teacher == "me":
         step_fn = build_me_train_step(student, cfg, tx)
-
-        def make_batch(epoch, step):
-            img, kps = (64, 64) if args.tiny else (512, 3000)
-            return synthetic_me_batch(
-                seed=cfg.train.seed + epoch * 10000 + step,
-                batch=n_data * args.batch_per_device, img=img, n_kps=kps,
-            ) if (args.synthetic or args.dev) else _real_me_batch(
-                args, cfg, n_data * args.batch_per_device, epoch, step
-            )
 
         def run_step(state, batch, temperature):
             return step_jit(state, frozen, batch)
@@ -217,32 +225,78 @@ def main(argv=None):
     # K optimizer steps per XLA dispatch (MASt3R multistep trainer); K=1 is
     # the plain one-step-per-dispatch path for every teacher.
     K = args.multistep if cfg.teacher == "mast3r" else 1
+    batch_size = n_data * args.batch_per_device
 
-    def fetch(epoch, step):
-        if cfg.teacher == "me":
-            return make_batch(epoch, step)
-        return _teacher_batch(args, cfg, n_data * args.batch_per_device,
-                              epoch, step)
+    def host_batches(epoch):
+        """Yield (live_steps, stacked numpy group batch) for one epoch.
+
+        Runs inside the prefetch thread — decode/augment/collate overlap the
+        device step, the analogue of the reference's 10 DataLoader workers
+        (src/finetune_timm_mast3r.py:232-240)."""
+        ds = _make_epoch_dataset(args, cfg, epoch)
+        if ds is None:
+            if cfg.teacher == "me":
+                img, kps = (64, 64) if args.tiny else (512, 3000)
+
+                def fetch(step):
+                    return synthetic_me_batch(
+                        seed=cfg.train.seed + epoch * 10000 + step,
+                        batch=batch_size, img=img, n_kps=kps,
+                    )
+            else:
+                def fetch(step):
+                    return _synthetic_teacher_batch(
+                        cfg, batch_size, epoch * 10000 + step, tiny=args.tiny)
+        elif args.workers > 0:
+            from gd3d.data.grain_pipeline import make_grain_loader
+
+            it = make_grain_loader(
+                ds, batch_size, seed=cfg.train.seed + epoch,
+                transform=_sample_transform(cfg),
+                worker_count=args.workers, epochs=None,
+            )
+
+            def fetch(step):
+                return dict(next(it))
+        else:
+            from gd3d.data.loader import collate
+
+            tr = _sample_transform(cfg)
+
+            def fetch(step):
+                samples = [tr(ds[(step * batch_size + i) % len(ds)])
+                           for i in range(batch_size)]
+                return collate(samples)
+
+        for step0 in range(0, steps, K):
+            live = list(range(step0, min(step0 + K, steps)))
+            raw = [fetch(s) for s in live]
+            # the scan trainer needs exactly K slices: pad a short final
+            # group by repeating its last batch, drop the extra metrics
+            raw += [raw[-1]] * (K - len(live))
+            if K > 1:
+                batch = {k: np.stack([b[k] for b in raw]) for k in raw[0]}
+            else:
+                batch = raw[0]
+            yield live, batch
+
+    def device_batches(epoch):
+        """host_batches + device_put with the DP sharding — also inside the
+        prefetch thread, so H2D transfer overlaps the previous step too."""
+        for live, batch in host_batches(epoch):
+            yield live, shard_batch(
+                mesh, {k: jnp.asarray(v) for k, v in batch.items()},
+                axis=1 if K > 1 else 0,
+            )
 
     print(f"mesh: {dict(mesh.shape)}; output: {out_dir}")
     with mesh, open(metrics_path, "a") as mf:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             temp = temperature_schedule(cfg, epoch)
             epoch_metrics = {}
-            for step0 in range(0, steps, K):
-                live = list(range(step0, min(step0 + K, steps)))
-                raw = [fetch(epoch, s) for s in live]
-                # the scan trainer needs exactly K slices: pad a short final
-                # group by repeating its last batch, drop the extra metrics
-                raw += [raw[-1]] * (K - len(live))
-                if K > 1:
-                    batch = {k: np.stack([b[k] for b in raw])
-                             for k in raw[0]}
-                else:
-                    batch = raw[0]
-                batch = shard_batch(mesh, {k: jnp.asarray(v)
-                                           for k, v in batch.items()},
-                                    axis=1 if K > 1 else 0)
+            source = PrefetchIterator(device_batches(epoch), depth=2)
+            epoch_t0 = time.perf_counter()
+            for live, batch in source:
                 t0 = time.perf_counter()
                 state, metrics = run_step(state, batch, temp)
                 loss = float(np.asarray(metrics["loss"]).reshape(-1)[-1])
@@ -266,98 +320,112 @@ def main(argv=None):
                 mf.flush()
                 print(f"epoch {epoch} step {live[-1]}: loss={loss:.4f} "
                       f"({dt:.2f}s / {len(live)} steps)")
+            epoch_wall = time.perf_counter() - epoch_t0
             # epoch-mean logging (EvaluationCallback, evaluate_timm.py:612-639)
             means = {f"epoch/{k}": float(np.mean(v))
                      for k, v in epoch_metrics.items()}
             means["epoch"] = epoch
+            # host-bound fraction: seconds the step thread blocked on data
+            means["epoch/host_wait_s"] = round(source.wait_time, 4)
+            means["epoch/wall_s"] = round(epoch_wall, 4)
             mf.write(json.dumps(means) + "\n")
             mf.flush()
             if (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
+                # adapter-only checkpoint (reference layout parity artifact)
                 save_checkpoint(str(out_dir / f"ckpt_epoch_{epoch + 1:04d}"),
                                 jax.device_get(state.trainable))
-            # periodic eval (every 10 epochs, evaluate_timm.py:641-692) when
-            # the PF-PASCAL data is present
-            pascal = Path(args.data_root) / "PF-dataset-PASCAL"
-            if (epoch + 1) % cfg.train.eval_every_epochs == 0 and pascal.exists():
+                # full restart state (Lightning save_last, main.py:138-145)
+                save_train_state(str(out_dir / "last"), state, epoch)
+            # periodic eval over the configured method list every 10 epochs
+            # (EvaluationCallback, evaluate_timm.py:591-730)
+            if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                from gd3d.eval.callback import run_eval_callback
                 from gd3d.models.student import merge_params
-                from gd3d.eval.pck import semantic_transfer
 
                 full = merge_params(jax.device_get(state.trainable), frozen)
-                for same_view in (True, False):
-                    df = semantic_transfer(
-                        student, full, str(pascal), same_view=same_view
-                    )
-                    tag = "same" if same_view else "diff"
-                    edir = out_dir / f"epoch_{epoch + 1}"
-                    edir.mkdir(exist_ok=True)
-                    df.to_csv(edir / f"semantic_transfer_{tag}.csv")
+                summary = run_eval_callback(
+                    student, full, cfg.evaluation_methods, args.data_root,
+                    str(out_dir), epoch + 1,
+                )
+                if summary:
+                    summary["epoch"] = epoch
+                    mf.write(json.dumps(summary) + "\n")
+                    mf.flush()
     print("training finished")
 
 
-def _real_me_batch(args, cfg, batch, epoch, step):
-    from gd3d.data.loader import collate, pad_keypoints
-    from gd3d.data.objaverse import (
-        AugmentedCorrDataset,
-        ObjaverseCorrDataset,
-    )
+def _make_epoch_dataset(args, cfg, epoch):
+    """Per-epoch-seeded map-style dataset, or None for synthetic data."""
+    if args.synthetic or args.dev:
+        return None
+    if not Path(args.data_root).exists():
+        print(f"WARNING: data root {args.data_root} missing; synthetic data")
+        return None
+    if cfg.teacher == "me":
+        from gd3d.data.objaverse import (
+            AugmentedCorrDataset,
+            ObjaverseCorrDataset,
+        )
 
-    root = Path(args.data_root) / "objaverse_renderings"
-    names = (Path(args.data_root) / "10k.txt").read_text().splitlines()
-    poses = np.load(Path(args.data_root) / "obj_poses.npy")
-    ds = AugmentedCorrDataset(
-        ObjaverseCorrDataset(str(root), names[:10_000], poses,
-                             seed=cfg.train.seed + epoch),
-        seed=cfg.train.seed + epoch,
-    )
-    samples = [ds[(step * batch + i) % len(ds)] for i in range(batch)]
-    for s in samples:
-        for v in ("1", "2"):
-            kp, p3, val = pad_keypoints(
-                s[f"pts2d_{v}"], s[f"pts3d_{v}"], 3000,
-                s.get(f"valid_{v}"),
-            )
-            s[f"pts2d_{v}"], s[f"pts3d_{v}"], s[f"valid_{v}"] = kp, p3, val
-            s.pop(f"mask_{v}", None)
-            s.pop(f"rot_{v}", None)
-    return collate(samples)
-
-
-def _teacher_batch(args, cfg, batch, epoch, step):
-    from gd3d.data.loader import collate
-
-    if args.synthetic or args.dev or not Path(args.data_root).exists():
-        return _synthetic_teacher_batch(cfg, batch, epoch * 10000 + step,
-                                        tiny=args.tiny)
+        root = Path(args.data_root) / "objaverse_renderings"
+        names = (Path(args.data_root) / "10k.txt").read_text().splitlines()
+        poses = np.load(Path(args.data_root) / "obj_poses.npy")
+        return AugmentedCorrDataset(
+            ObjaverseCorrDataset(str(root), names[:10_000], poses,
+                                 seed=cfg.train.seed + epoch),
+            seed=cfg.train.seed + epoch,
+        )
     if cfg.dataset == "scannetpp":
         from gd3d.data.scannetpp import AugmentedScanNetPPDataset, ScanNetPPDataset
 
-        ds = AugmentedScanNetPPDataset(
+        return AugmentedScanNetPPDataset(
             ScanNetPPDataset(str(Path(args.data_root) / "scannetpp"),
                              vggt=(cfg.teacher == "vggt"),
                              seed=cfg.train.seed + epoch),
             seed=cfg.train.seed + epoch,
         )
-    else:
-        from gd3d.data.objaverse import (
-            AugmentedObjaverseDataset,
-            ObjaverseMASt3RDataset,
-        )
+    from gd3d.data.objaverse import (
+        AugmentedObjaverseDataset,
+        ObjaverseMASt3RDataset,
+    )
 
-        names = (Path(args.data_root) / "10k.txt").read_text().splitlines()
-        ds = AugmentedObjaverseDataset(
-            ObjaverseMASt3RDataset(
-                str(Path(args.data_root) / "objaverse_renderings"),
-                names[:10_000], seed=cfg.train.seed + epoch,
-                vggt=(cfg.teacher == "vggt"),
-            ),
-            seed=cfg.train.seed + epoch,
-        )
-    samples = [ds[(step * batch + i) % len(ds)] for i in range(batch)]
-    for s in samples:
-        for k in list(s):
-            if isinstance(s[k], str):
-                s.pop(k)
-    return collate(samples)
+    names = (Path(args.data_root) / "10k.txt").read_text().splitlines()
+    return AugmentedObjaverseDataset(
+        ObjaverseMASt3RDataset(
+            str(Path(args.data_root) / "objaverse_renderings"),
+            names[:10_000], seed=cfg.train.seed + epoch,
+            vggt=(cfg.teacher == "vggt"),
+        ),
+        seed=cfg.train.seed + epoch,
+    )
+
+
+def _sample_transform(cfg):
+    """Per-sample host transform: fixed-capacity keypoint padding for the ME
+    pipeline (native pad when libgd3d_native.so is built), string/None drop
+    for the teacher pipelines."""
+    if cfg.teacher == "me":
+        from gd3d.native_runtime import pad_keypoints
+
+        def tr(s):
+            s = dict(s)
+            for v in ("1", "2"):
+                kp, p3, val = pad_keypoints(
+                    s[f"pts2d_{v}"], s[f"pts3d_{v}"], 3000,
+                    s.get(f"valid_{v}"),
+                )
+                s[f"pts2d_{v}"], s[f"pts3d_{v}"], s[f"valid_{v}"] = kp, p3, val
+                s.pop(f"mask_{v}", None)
+                s.pop(f"rot_{v}", None)
+            return s
+
+        return tr
+
+    def tr(s):
+        return {k: v for k, v in s.items()
+                if v is not None and not isinstance(v, str)}
+
+    return tr
 
 
 def _synthetic_teacher_batch(cfg, batch, seed, tiny=False):

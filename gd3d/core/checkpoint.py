@@ -35,6 +35,37 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(path, target)
 
 
+def save_train_state(path: str, state: Any, epoch: int) -> None:
+    """Persist the FULL training state (trainable + optimizer + step) plus
+    the epoch counter for restart — the analogue of Lightning's `save_last`
+    restart checkpoint (/root/reference/src/main.py:138-145)."""
+    payload = {
+        "trainable": jax.device_get(state.trainable),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.asarray(jax.device_get(state.step)),
+        "epoch": np.asarray(epoch, np.int32),
+    }
+    save_checkpoint(path, payload)
+
+
+def restore_train_state(path: str, state: Any):
+    """Restore a save_train_state checkpoint onto a freshly-initialized
+    TrainState. Returns (state, next_epoch)."""
+    template = {
+        "trainable": jax.device_get(state.trainable),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": np.asarray(jax.device_get(state.step)),
+        "epoch": np.asarray(0, np.int32),
+    }
+    payload = restore_checkpoint(path, template)
+    state = state.replace(
+        trainable=payload["trainable"],
+        opt_state=payload["opt_state"],
+        step=payload["step"],
+    )
+    return state, int(payload["epoch"]) + 1
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference Lightning .ckpt and flatten it to the reference key
     layout consumed by import_reference_layout.

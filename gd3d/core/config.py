@@ -171,6 +171,12 @@ class DistillConfig:
 
     teacher: str = "mast3r"        # mast3r | vggt | me | vanilla
     dataset: str = "scannetpp"     # scannetpp | objaverse | synthetic
+    # in-training eval methods run every eval_every_epochs, matching the
+    # reference's EvaluationCallback list (config/*.yaml ->
+    # src/main.py:95-98 -> src/evaluate_timm.py:591-730)
+    evaluation_methods: Tuple[str, ...] = (
+        "semantic_transfer", "tracking", "pose",
+    )
     student: StudentConfig = dataclasses.field(default_factory=StudentConfig)
     loss_weights: LossWeights = dataclasses.field(default_factory=LossWeights)
     keypoints: KeypointConfig = dataclasses.field(default_factory=KeypointConfig)
@@ -229,3 +235,46 @@ NAMED_CONFIGS = {
     "finetune_timm_vggt_scannetpp": vggt_scannetpp,
     "finetune_timm_vggt_objaverse": vggt_objaverse,
 }
+
+
+def load_yaml_config(path: str) -> DistillConfig:
+    """Parse one of gd3d/configs/*.yaml (the Hydra-analogue files mirroring
+    /root/reference/config/*.yaml) into a DistillConfig.
+
+    The YAML selects {matcher, dataset, evaluation_methods}; the matching
+    NAMED_CONFIGS factory supplies every other hyper-parameter, then the
+    YAML's evaluation_methods list overrides the default.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    matcher = raw.get("matcher", "mast3r")
+    dataset = raw.get("dataset", "scannetpp")
+    name = f"finetune_timm_{matcher}_{dataset}"
+    if name not in NAMED_CONFIGS:
+        raise ValueError(
+            f"{path}: no named config for matcher={matcher!r} "
+            f"dataset={dataset!r} (expected one of {sorted(NAMED_CONFIGS)})"
+        )
+    cfg = NAMED_CONFIGS[name]()
+    methods = raw.get("evaluation_methods")
+    if methods is not None:
+        cfg = cfg.replace(evaluation_methods=tuple(methods))
+    return cfg
+
+
+def resolve_config(name_or_path: str) -> DistillConfig:
+    """NAMED_CONFIGS key, bare config name (gd3d/configs/<name>.yaml), or an
+    explicit .yaml path."""
+    import os
+
+    if name_or_path.endswith((".yaml", ".yml")):
+        return load_yaml_config(name_or_path)
+    bundled = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", f"{name_or_path}.yaml",
+    )
+    if os.path.exists(bundled):
+        return load_yaml_config(bundled)
+    return NAMED_CONFIGS[name_or_path]()

@@ -17,6 +17,8 @@ from typing import Dict, List, Sequence, Union
 import numpy as np
 from PIL import Image
 
+from gd3d import native_runtime
+
 ImageLike = Union[str, Image.Image, np.ndarray]
 
 
@@ -62,8 +64,11 @@ def load_image_mast3r(
         if not square_ok and W == H:
             halfh = int(3 * halfw / 4)
         im = im.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
-    arr = np.asarray(im).astype(np.float32) / 255.0
-    arr = (arr - 0.5) / 0.5
+    # /255 then Normalize(0.5, 0.5) => [-1, 1]; native threaded loop when
+    # libgd3d_native.so is built, numpy fallback otherwise
+    arr = native_runtime.u8_to_f32_norm(
+        np.asarray(im), mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)
+    )
     return {
         "img": arr,
         "true_shape": np.int32([im.size[1], im.size[0]]),
@@ -91,7 +96,9 @@ def load_images_vggt(
             new_w = target_size
             new_h = round(height * (new_w / width) / 14) * 14
         im = im.resize((new_w, new_h), Image.Resampling.BICUBIC)
-        arr = np.asarray(im).astype(np.float32) / 255.0
+        arr = native_runtime.u8_to_f32_norm(
+            np.asarray(im), mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0)
+        )
         if mode == "crop" and new_h > target_size:
             start = (new_h - target_size) // 2
             arr = arr[start : start + target_size]

@@ -46,6 +46,51 @@ def collate(samples: Sequence[Dict]) -> Dict[str, np.ndarray]:
     return out
 
 
+class PrefetchIterator:
+    """Wrap ANY iterator with a daemon producer thread + bounded queue.
+
+    The producer runs the wrapped iterator (host decode, collation, even
+    jax.device_put — all thread-safe) while the consumer's device step
+    executes, giving the reference's DataLoader-worker overlap
+    (src/finetune_timm_mast3r.py:232-240) without processes. `wait_time`
+    accumulates the seconds the consumer spent blocked on the queue — the
+    host-bound fraction of the step loop, for the profiler.
+    """
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = object()
+        self._err: Optional[BaseException] = None
+        self.wait_time = 0.0
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._stop)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import time
+
+        t0 = time.perf_counter()
+        item = self._q.get()
+        self.wait_time += time.perf_counter() - t0
+        if item is self._stop:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 class PrefetchLoader:
     """Iterate batches of `batch_size` samples with a prefetch thread."""
 

@@ -184,9 +184,13 @@ def semantic_transfer(
     """Full PCK table (evaluate_timm.py:461-588)."""
     categories = list(categories or PASCAL_CATEGORIES)
     results = {a: [] for a in alphas}
+    kept: List[str] = []
     match = make_match_fn(student, img_size, refine, max_kps=20)
     for cat in categories:
         files, kps = load_pascal_pairs(data_path, img_size, cat, same_view)
+        if len(files) < 2:  # category absent from the pair CSV
+            continue
+        kept.append(cat)
         gt_all, pred_all = [], []
         for pair_idx in range(len(files) // 2):
             img1 = resize_to_canvas(
@@ -214,9 +218,11 @@ def semantic_transfer(
             "PCK0.15": results[0.15],
         }
     )
-    df["categories"] = categories
+    df["categories"] = kept
     df.set_index(["categories"], inplace=True)
-    weights = CATEGORY_WEIGHTS[: len(categories)]
+    # per-category pair-count weights, mapped by name so category subsets
+    # and absent categories weight correctly (evaluate_timm.py:554-588)
+    weights = [CATEGORY_WEIGHTS[PASCAL_CATEGORIES.index(c)] for c in kept]
     for col in ("PCK0.05", "PCK0.10", "PCK0.15"):
         df[f"Weighted {col}"] = np.average(df[col], weights=weights)
     return df
