@@ -1,6 +1,8 @@
 """Benchmark: flagship MASt3R-distillation step throughput on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics (MFU, FLOP estimate, optional VGGT step metric) go to stderr so
+driver parsers that read the last stdout line keep working.
 
 The step matches FinetuneMASt3RTIMM.training_step at ScanNet++ geometry
 (512x336 teacher frames, 512^2 student frames): frozen MASt3R ViT-L
@@ -10,27 +12,34 @@ the reference's 6 passes batched into 2) + the three distillation losses +
 adapter-only AdamW update, K=16 optimizer steps per XLA dispatch
 (lax.scan). vs_baseline is the ratio against BASELINE.json's
 2000 pairs/s/chip north star.
+
+Precision policy (env-overridable):
+  GD3D_BENCH_STUDENT_DTYPE  default bfloat16 — the reference trains the
+                            student under AMP (finetune_timm_mast3r.py:758);
+                            fp32 master params + losses either way.
+  GD3D_BENCH_TEACHER_DTYPE  default float32 — the reference runs MASt3R fp32.
+  GD3D_BENCH_VGGT=1         also bench the VGGT distillation step (second
+                            JSON line on stderr).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 NORTH_STAR_PAIRS_PER_SEC = 2000.0
+V5E_BF16_PEAK_FLOPS = 197e12  # one v5e chip
 
 
-def main() -> None:
-    import jax
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
-    # persistent compile cache: the MASt3R distill graph is large and this
-    # process may be re-launched per round — compile once, reuse forever.
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    import jax.numpy as jnp
 
+def bench_mast3r(jax, jnp) -> dict:
     from gd3d.core.config import DistillConfig
     from gd3d.distill import make_optimizer
     from gd3d.distill.mast3r_step import build_mast3r_train_multistep
@@ -40,13 +49,13 @@ def main() -> None:
     from gd3d.teachers.mast3r import Mast3rTeacher
 
     cfg = DistillConfig(teacher="mast3r", dataset="scannetpp")
-    # fp32 teacher is the parity default (the reference runs MASt3R fp32);
-    # GD3D_BENCH_TEACHER_DTYPE=bfloat16 benches the production-throughput mode
     td = os.environ.get("GD3D_BENCH_TEACHER_DTYPE")
     if td:
         cfg = cfg.replace(teacher_dtype=td)
+    sd = os.environ.get("GD3D_BENCH_STUDENT_DTYPE", "bfloat16")
+    cfg = cfg.replace(
+        student=dataclasses.replace(cfg.student, compute_dtype=sd))
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
-    # pairs per step, optimizer steps per dispatch (env-overridable for sweeps)
     BATCH = int(os.environ.get("GD3D_BENCH_BATCH", "1"))
     K = int(os.environ.get("GD3D_BENCH_K", "16"))
 
@@ -59,10 +68,8 @@ def main() -> None:
     state = init_state(tx, trainable)
     # K optimizer steps per dispatch (lax.scan) amortize host dispatch —
     # measured ~9% over per-step dispatch through the device tunnel
-    multi = jax.jit(
-        build_mast3r_train_multistep(student, teacher, cfg, tx,
-                                     has_depth=False)
-    )
+    step_fn = build_mast3r_train_multistep(student, teacher, cfg, tx,
+                                           has_depth=False)
 
     rng = np.random.RandomState(0)
     batches = {
@@ -80,25 +87,100 @@ def main() -> None:
         ),
     }
 
-    state, metrics = multi(state, frozen, tparams, batches, 1.0)
+    lowered = jax.jit(step_fn).lower(state, frozen, tparams, batches, 1.0)
+    compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+
+    state, metrics = compiled(state, frozen, tparams, batches, 1.0)
     float(metrics["loss"][-1])  # hard sync (tunnel ignores block_until_ready)
 
     t0 = time.perf_counter()
-    state, metrics = multi(state, frozen, tparams, batches, 1.0)
+    state, metrics = compiled(state, frozen, tparams, batches, 1.0)
     float(metrics["loss"][-1])
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * K / dt
-    print(
-        json.dumps(
-            {
-                "metric": "mast3r_distill_pairs_per_sec",
-                "value": round(pairs_per_sec, 4),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 6),
-            }
-        )
+    mfu = flops / dt / V5E_BF16_PEAK_FLOPS
+    _log(f"mast3r step: student={sd} teacher={cfg.teacher_dtype} "
+         f"batch={BATCH} K={K}: {pairs_per_sec:.3f} pairs/s, "
+         f"{flops / (BATCH * K) / 1e12:.2f} TFLOP/pair (XLA estimate), "
+         f"MFU={mfu * 100:.1f}% of v5e bf16 peak")
+    return {
+        "metric": "mast3r_distill_pairs_per_sec",
+        "value": round(pairs_per_sec, 4),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 6),
+    }
+
+
+def bench_vggt(jax, jnp) -> dict:
+    """Full-scale VGGT distillation step (1B-param teacher at 518^2, random
+    weights — identical FLOP/memory profile to the released checkpoint)."""
+    from gd3d.core.config import DistillConfig, LossWeights
+    from gd3d.distill import make_optimizer
+    from gd3d.distill.train_state import init_state
+    from gd3d.distill.vggt_step import build_vggt_train_step
+    from gd3d.models.student import Student, split_params
+    from gd3d.models.vggt.config import VggtConfig
+    from gd3d.teachers.vggt import VggtTeacher
+
+    sd = os.environ.get("GD3D_BENCH_STUDENT_DTYPE", "bfloat16")
+    cfg = DistillConfig(
+        teacher="vggt", dataset="scannetpp",
+        loss_weights=LossWeights(ap=1.0, depth=1.0, intra_depth=1.0, kl=1.0),
+        teacher_dtype="bfloat16",  # reference runs the 1B aggregator bf16
     )
+    cfg = cfg.replace(
+        student=dataclasses.replace(cfg.student, compute_dtype=sd))
+
+    student = Student(cfg.student)
+    params = student.init(jax.random.key(0), img_size=64)
+    trainable, frozen = split_params(params)
+    teacher = VggtTeacher(VggtConfig())
+    tparams = teacher.init_params(jax.random.key(1), hw=(28, 28))
+    tx = make_optimizer(cfg.train)
+    state = init_state(tx, trainable)
+    step = jax.jit(build_vggt_train_step(student, teacher, cfg, tx))
+
+    rng = np.random.RandomState(0)
+    V, R = 518, 512
+    batch = {
+        "rgb_1": jnp.asarray(rng.rand(1, R, R, 3), jnp.float32),
+        "rgb_2": jnp.asarray(rng.rand(1, R, R, 3), jnp.float32),
+        "rgb_vggt": jnp.asarray(rng.rand(1, 2, V, V, 3), jnp.float32),
+    }
+    key = jax.random.key(0)
+    state, metrics = step(state, frozen, tparams, batch, 1.0, key)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    N = 4
+    for i in range(N):
+        state, metrics = step(state, frozen, tparams, batch, 1.0, key)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / N
+    return {
+        "metric": "vggt_distill_pairs_per_sec",
+        "value": round(1.0 / dt, 4),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(1.0 / dt / NORTH_STAR_PAIRS_PER_SEC, 6),
+    }
+
+
+def main() -> None:
+    import jax
+
+    # persistent compile cache: the MASt3R distill graph is large and this
+    # process may be re-launched per round — compile once, reuse forever.
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    import jax.numpy as jnp
+
+    if os.environ.get("GD3D_BENCH_VGGT"):
+        _log(json.dumps(bench_vggt(jax, jnp)))
+    print(json.dumps(bench_mast3r(jax, jnp)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,234 @@
+"""Reference-DIRECT parity tests (VERDICT.md item 6).
+
+Unlike the transcription-based parity suites (test_mast3r_full_parity etc.,
+which compare against the builder's own torch re-implementations), these
+import the reference's ACTUAL modules from /root/reference and assert the
+gd3d rebuild matches them numerically at tiny config. A transcription error
+anywhere in the chain shows up here.
+
+Fork points locked:
+  - /root/reference/dust3r/dust3r/model.py:297-366 (cross-attn export,
+    reciprocity + temperature softmax) via the full AsymmetricMASt3R forward
+  - /root/reference/mast3r/catmlp_dpt_head.py:25-96 (catmlp+dpt head),
+    covered by the same forward
+  - /root/reference/vggt/layers/attention.py:51-85 (cross-frame blocks)
+  - /root/reference/dust3r/croco/models/pos_embed.py:112-159 (RoPE2D)
+  - /root/reference/mast3r/fast_nn.py:109-188 (reciprocal NN matcher)
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+pytestmark = pytest.mark.slow
+
+REF = "/root/reference"
+
+
+def _ref_paths():
+    # croco blocks.py:23 has an unused `import timm  # TO TEST`; stub it
+    if "timm" not in sys.modules:
+        sys.modules["timm"] = types.ModuleType("timm")
+    for p in (f"{REF}/dust3r", f"{REF}/dust3r/croco", REF):
+        if p not in sys.path:
+            sys.path.append(p)
+
+
+# ---------------------------------------------------------------- MASt3R
+def test_reference_mast3r_forward_matches_gd3d():
+    """Full AsymmetricMASt3R (reference code, random tiny weights) vs gd3d
+    Mast3r with converted weights: pts3d/conf/desc/desc_conf + the
+    reciprocity-temperature cost volume."""
+    import jax.numpy as jnp
+
+    _ref_paths()
+    from mast3r.model import AsymmetricMASt3R
+
+    from gd3d.models.croco import CrocoConfig
+    from gd3d.models.mast3r import Mast3r, Mast3rConfig
+    from gd3d.teachers.mast3r import convert_mast3r
+
+    inf = float("inf")
+    torch.manual_seed(0)
+    # dec_depth must be >9 (catmlp_dpt_head.py:105 factory assert); widths tiny
+    ref = AsymmetricMASt3R(
+        desc_mode="norm", two_confs=True, desc_conf_mode=("exp", 0, inf),
+        output_mode="pts3d+desc6", head_type="catmlp+dpt",
+        depth_mode=("exp", -inf, inf), conf_mode=("exp", 1, inf),
+        landscape_only=False, temperature=0.8,
+        img_size=(32, 64), patch_size=16,
+        enc_embed_dim=32, enc_depth=2, enc_num_heads=2,
+        dec_embed_dim=16, dec_depth=12, dec_num_heads=2,
+        pos_embed="RoPE100",
+    ).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    cfg = Mast3rConfig(
+        croco=CrocoConfig(
+            patch_size=16, enc_embed_dim=32, enc_depth=2, enc_num_heads=2,
+            dec_embed_dim=16, dec_depth=12, dec_num_heads=2,
+        ),
+        local_feat_dim=6, dpt_feature_dim=256, dpt_last_dim=128,
+    )
+    params = convert_mast3r(state, cfg)
+
+    rng = np.random.RandomState(0)
+    H, W = 32, 64
+    im1 = (rng.rand(1, H, W, 3) * 2 - 1).astype(np.float32)
+    im2 = (rng.rand(1, H, W, 3) * 2 - 1).astype(np.float32)
+    t1 = torch.from_numpy(im1).permute(0, 3, 1, 2)
+    t2 = torch.from_numpy(im2).permute(0, 3, 1, 2)
+    # symmetrized direction batch, element 0 = (view1=img2, view2=img1)
+    # exactly like make_pairs(symmetrize=True) + collate
+    # (dust3r/inference.py:26-29); distinct instances -> direct encode path
+    view1 = {"img": torch.cat([t2, t1]), "instance": ["0", "1"]}
+    view2 = {"img": torch.cat([t1, t2]), "instance": ["2", "3"]}
+    with torch.no_grad():
+        res1, res2 = ref(view1, view2)
+
+    out = Mast3r(cfg).apply(
+        {"params": params}, jnp.asarray(im1), jnp.asarray(im2), 0.8
+    )
+    checks = [
+        (out["res1"]["pts3d"], res1["pts3d"], "res1.pts3d"),
+        (out["res1"]["conf"], res1["conf"], "res1.conf"),
+        (out["res1"]["desc"], res1["desc"], "res1.desc"),
+        (out["res1"]["desc_conf"], res1["desc_conf"], "res1.desc_conf"),
+        (out["res2"]["pts3d_in_other_view"], res2["pts3d_in_other_view"],
+         "res2.pts3d_in_other_view"),
+        (out["res2"]["desc"], res2["desc"], "res2.desc"),
+        (out["res2"]["tgt_attn_map"], res2["tgt_attn_map"],
+         "res2.tgt_attn_map"),
+    ]
+    for got, want, name in checks:
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=5e-3, atol=2e-3,
+            err_msg=name,
+        )
+
+
+# ------------------------------------------------------------------ VGGT
+def test_reference_vggt_attention_cross_frame_matches_gd3d():
+    """The forked VGGT Attention's cross-frame export (attention.py:51-85)
+    vs gd3d VggtAttention: output tokens + the two off-diagonal blocks."""
+    import functools
+
+    import jax.numpy as jnp
+
+    _ref_paths()
+    from vggt.layers.attention import Attention
+
+    from gd3d.models.vggt.layers import VggtAttention
+
+    torch.manual_seed(1)
+    dim, heads = 32, 2
+    # production VGGT builds attention with LayerNorm(eps=1e-6)
+    # (vggt/layers/vision_transformer.py), qk_norm on
+    ref = Attention(
+        dim, num_heads=heads, qk_norm=True, fused_attn=True,
+        norm_layer=functools.partial(torch.nn.LayerNorm, eps=1e-6),
+    ).eval()
+
+    params = {
+        "qkv": {
+            "kernel": ref.qkv.weight.detach().numpy().T,
+            "bias": ref.qkv.bias.detach().numpy(),
+        },
+        "proj": {
+            "kernel": ref.proj.weight.detach().numpy().T,
+            "bias": ref.proj.bias.detach().numpy(),
+        },
+        "q_norm": {
+            "scale": ref.q_norm.weight.detach().numpy(),
+            "bias": ref.q_norm.bias.detach().numpy(),
+        },
+        "k_norm": {
+            "scale": ref.k_norm.weight.detach().numpy(),
+            "bias": ref.k_norm.bias.detach().numpy(),
+        },
+    }
+
+    rng = np.random.RandomState(2)
+    N = 2 * (5 + 16)  # 2 frames x (5 special + 16 patch tokens)
+    x = rng.randn(2, N, dim).astype(np.float32)
+    with torch.no_grad():
+        out_t, attn_t = ref(torch.from_numpy(x), return_attn=True,
+                            temperature=0.7)
+
+    gd = VggtAttention(dim, heads, qk_norm=True)
+    out_j, attn_j = gd.apply(
+        {"params": params}, jnp.asarray(x), return_attn=True,
+        temperature=0.7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.numpy(), rtol=2e-4, atol=1e-5)
+    # reference returns per-head maps cat'ed on batch; gd3d fuses the
+    # head-mean every consumer applies (finetune_timm_vggt.py:390-392)
+    np.testing.assert_allclose(
+        np.asarray(attn_j), attn_t.mean(1).numpy(), rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------- RoPE2D
+def test_reference_rope2d_matches_gd3d():
+    """CroCo's torch RoPE2D fallback (pos_embed.py:112-159, the same math as
+    the cuRoPE2D kernel) vs gd3d ops.rope2d."""
+    import jax.numpy as jnp
+
+    _ref_paths()
+    from models.pos_embed import RoPE2D  # croco
+
+    from gd3d.ops.rope2d import rope2d
+
+    rope = RoPE2D(freq=100.0)
+    rng = np.random.RandomState(3)
+    B, Hh, N, D = 2, 3, 20, 16
+    tokens = rng.randn(B, Hh, N, D).astype(np.float32)
+    pos = rng.randint(0, 7, size=(B, N, 2)).astype(np.int64)
+    with torch.no_grad():
+        want = rope(torch.from_numpy(tokens), torch.from_numpy(pos)).numpy()
+    got = rope2d(jnp.asarray(tokens), jnp.asarray(pos), 100.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------- fast_nn
+def test_reference_fast_nn_matches_gd3d():
+    """fast_reciprocal_NNs (reference torch/numpy code, dot metric,
+    subsample 16) vs the gd3d static-shape on-device pipeline: identical
+    correspondence sets."""
+    import jax.numpy as jnp
+
+    _ref_paths()
+    from mast3r.fast_nn import fast_reciprocal_NNs
+
+    from gd3d.distill.keypoints import merge_corres_static, reciprocal_nn_grid
+
+    rng = np.random.RandomState(4)
+    H = W = 32
+    D = 8
+    d1 = rng.randn(H, W, D).astype(np.float32)
+    d2 = rng.randn(H, W, D).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+
+    ref_xy1, ref_xy2 = fast_reciprocal_NNs(
+        torch.from_numpy(d1), torch.from_numpy(d2),
+        subsample_or_initxy1=16, device="cpu", dist="dot",
+        block_size=2 ** 13,
+    )
+    ref_pairs = {
+        (int(x1), int(y1), int(x2), int(y2))
+        for (x1, y1), (x2, y2) in zip(ref_xy1, ref_xy2)
+    }
+
+    xy1, xy2, conv = reciprocal_nn_grid(
+        jnp.asarray(d1), jnp.asarray(d2), H, W, subsample=16, max_iter=10)
+    sxy1, sxy2, valid = merge_corres_static(xy1, xy2, conv, H * W, H * W)
+    got_pairs = {
+        (int(i1 % W), int(i1 // W), int(i2 % W), int(i2 // W))
+        for i1, i2, v in zip(
+            np.asarray(sxy1), np.asarray(sxy2), np.asarray(valid))
+        if v
+    }
+    assert got_pairs == ref_pairs
