@@ -87,12 +87,17 @@ def bench_mast3r(jax, jnp) -> dict:
         ),
     }
 
-    lowered = jax.jit(step_fn).lower(state, frozen, tparams, batches, 1.0)
-    compiled = lowered.compile()
+    # analytic matmul/conv FLOP count (jaxpr walk; XLA's cost_analysis
+    # counts scan bodies once, undercounting scan-over-layers models ~20x)
+    from gd3d.utils.flops import count_fn_flops
+
     try:
-        flops = float(compiled.cost_analysis()["flops"])
+        flops = count_fn_flops(
+            step_fn, state, frozen, tparams, batches, 1.0, while_trips=3)
     except Exception:
         flops = float("nan")
+    compiled = jax.jit(step_fn).lower(
+        state, frozen, tparams, batches, 1.0).compile()
 
     state, metrics = compiled(state, frozen, tparams, batches, 1.0)
     float(metrics["loss"][-1])  # hard sync (tunnel ignores block_until_ready)
@@ -106,8 +111,8 @@ def bench_mast3r(jax, jnp) -> dict:
     mfu = flops / dt / V5E_BF16_PEAK_FLOPS
     _log(f"mast3r step: student={sd} teacher={cfg.teacher_dtype} "
          f"batch={BATCH} K={K}: {pairs_per_sec:.3f} pairs/s, "
-         f"{flops / (BATCH * K) / 1e12:.2f} TFLOP/pair (XLA estimate), "
-         f"MFU={mfu * 100:.1f}% of v5e bf16 peak")
+         f"{flops / (BATCH * K) / 1e12:.2f} TFLOP/pair (analytic matmul/conv "
+         f"count), MFU={mfu * 100:.1f}% of v5e bf16 peak")
     return {
         "metric": "mast3r_distill_pairs_per_sec",
         "value": round(pairs_per_sec, 4),

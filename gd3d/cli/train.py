@@ -204,7 +204,8 @@ def main(argv=None):
                 dpt_hooks=(0, 0, 1, 1), track_features=8, track_iters=2,
                 track_stride=2, corr_levels=2, corr_radius=1,
                 track_hidden_size=16)
-        teacher = VggtTeacher(tcfg)
+        teacher = VggtTeacher(
+            tcfg, sp_mesh=mesh if cfg.mesh.sequence_parallel else None)
         if args.teacher_ckpt:
             teacher_params = convert_vggt(load_torch_state(args.teacher_ckpt))
         else:

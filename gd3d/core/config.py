@@ -139,6 +139,10 @@ class MeshConfig:
 
     data: int = -1   # -1: all remaining devices
     model: int = 1
+    # ring-attention sequence parallelism on the VGGT aggregator's S*P
+    # global-attention axis (the long-context story for S > 2 frames);
+    # shards the token axis over the `data` mesh axis
+    sequence_parallel: bool = False
 
     def shape(self, n_devices: int) -> Tuple[int, int]:
         model = max(1, self.model)

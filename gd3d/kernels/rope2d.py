@@ -28,7 +28,8 @@ def _rope2d_kernel(pos_ref, tok_ref, out_ref, *, base: float, F0: float, D: int)
     toks = tok_ref[0]          # (N_BLK, D)
     pos = pos_ref[:]           # (N_BLK, 2) int32
 
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, Q), 1)
+    # mosaic requires integer iota; convert after
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1).astype(jnp.float32)
     inv_freq = F0 / (base ** (k / Q))  # (1, Q); matches kernels.cu:46
 
     def rotate(u, v, p):

@@ -38,6 +38,8 @@ class AlternatingPair(nn.Module):
     cfg: VggtConfig
     B: int = 1
     S: int = 2
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "data"
 
     @nn.compact
     def __call__(self, tokens, pos, gpos, temperature):
@@ -51,11 +53,14 @@ class AlternatingPair(nn.Module):
         )(tokens, pos=pos)
         frame_inter = tokens.reshape(self.B, self.S, P, C)
 
+        # the S*P global-attention axis is the long-sequence dimension:
+        # with sp_mesh set it runs ring attention sharded over sp_axis
         gtokens = tokens.reshape(self.B, self.S * P, C)
         gtokens, amap = VggtBlock(
             C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
             qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
-            eps=cfg.layernorm_eps, name="global",
+            eps=cfg.layernorm_eps, sp_mesh=self.sp_mesh,
+            sp_axis=self.sp_axis, name="global",
         )(gtokens, pos=gpos, return_attn=True, temperature=temperature)
         tokens = gtokens.reshape(BS, P, C)
         global_inter = gtokens.reshape(self.B, self.S, P, C)
@@ -64,6 +69,10 @@ class AlternatingPair(nn.Module):
 
 class Aggregator(nn.Module):
     cfg: VggtConfig
+    # optional sequence parallelism for the global-attention token axis
+    # (MeshConfig.sequence_parallel -> VggtTeacher(sp_mesh=...))
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "data"
 
     @nn.compact
     def __call__(
@@ -133,7 +142,8 @@ class Aggregator(nn.Module):
             out_axes=0,
         )
         _, (frame_inter, global_inter, amaps) = Scanned(
-            cfg, B=B, S=S, name="aa_pairs"
+            cfg, B=B, S=S, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+            name="aa_pairs"
         )(tokens, pos, gpos, temperature)
         # (L, B, S, P, C) x2; amaps (L, 2B, Pp, Pp)
 

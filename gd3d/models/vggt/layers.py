@@ -58,6 +58,11 @@ class VggtAttention(nn.Module):
     rope_freq: float = 100.0
     eps: float = 1e-6
     special_tokens: int = 5
+    # sequence/context parallelism: when a mesh is set, attention runs
+    # ring-passed-KV sharded on the token axis over `sp_axis` (the CP story
+    # for the S*P global-attention axis, SURVEY.md §2.4/§5)
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "data"
 
     @nn.compact
     def __call__(self, x, pos=None, return_attn: bool = False, temperature=1.0):
@@ -79,7 +84,14 @@ class VggtAttention(nn.Module):
             ).transpose(0, 2, 1, 3)
 
         scale = D**-0.5
-        out = scaled_dot_attention(q, k, v, scale=scale).reshape(B, N, C)
+        if self.sp_mesh is not None:
+            from gd3d.parallel.sequence import ring_attention
+
+            out = ring_attention(
+                q, k, v, self.sp_mesh, self.sp_axis, scale
+            ).reshape(B, N, C)
+        else:
+            out = scaled_dot_attention(q, k, v, scale=scale).reshape(B, N, C)
         out = nn.Dense(C, use_bias=True, name="proj")(out)
 
         attn_export = None
@@ -118,6 +130,8 @@ class VggtBlock(nn.Module):
     rope_freq: float = 100.0
     eps: float = 1e-6
     scanned: bool = False
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "data"
 
     @nn.compact
     def __call__(self, x, pos=None, return_attn: bool = False, temperature=1.0):
@@ -125,6 +139,7 @@ class VggtBlock(nn.Module):
         a, attn_map = VggtAttention(
             self.dim, self.num_heads, qk_norm=self.qk_norm,
             use_rope=self.use_rope, rope_freq=self.rope_freq, eps=self.eps,
+            sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
             name="attn",
         )(h, pos=pos, return_attn=return_attn, temperature=temperature)
         if self.init_values is not None:

@@ -20,10 +20,16 @@ from gd3d.models.vggt.track import TrackHead
 
 class Vggt(nn.Module):
     cfg: VggtConfig
+    # optional sequence parallelism for the aggregator's global attention
+    sp_mesh: Optional[object] = None
+    sp_axis: str = "data"
 
     def setup(self):
         cfg = self.cfg
-        self.aggregator = Aggregator(cfg, name="aggregator")
+        self.aggregator = Aggregator(
+            cfg, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+            name="aggregator",
+        )
         self.camera_head = CameraHead(cfg, name="camera_head")
         self.depth_head = VggtDPTHead(
             cfg, output_dim=2, activation="exp", conf_activation="expp1",

@@ -37,10 +37,10 @@ def _rope1d(tokens: jnp.ndarray, pos1d: jnp.ndarray, base: float, F0: float):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def rope2d(tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0,
-           F0: float = 1.0) -> jnp.ndarray:
-    """RoPE2D: tokens (B, H, N, D) with D % 4 == 0, positions (B, N, 2) as
-    (y, x) integer grid coords. Returns rotated tokens."""
+def rope2d_xla(tokens: jnp.ndarray, positions: jnp.ndarray,
+               base: float = 100.0, F0: float = 1.0) -> jnp.ndarray:
+    """Pure-jnp RoPE2D: tokens (B, H, N, D) with D % 4 == 0, positions
+    (B, N, 2) as (y, x) integer grid coords. Returns rotated tokens."""
     return _rope2d_impl(tokens, positions, base, F0)
 
 
@@ -61,7 +61,33 @@ def _rope2d_bwd(base, F0, positions, g):
     return _rope2d_impl(g, positions, base, -F0), None
 
 
-rope2d.defvjp(_rope2d_fwd, _rope2d_bwd)
+rope2d_xla.defvjp(_rope2d_fwd, _rope2d_bwd)
+
+
+import os
+
+_USE_PALLAS = os.environ.get("GD3D_ROPE_PALLAS") == "1"
+
+
+def rope2d(tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0,
+           F0: float = 1.0) -> jnp.ndarray:
+    """RoPE2D dispatch used by every model call site (croco, vggt layers).
+
+    MEASURED DECISION (scripts/probe_rope2d.py on one v5e, CroCo ViT-L
+    encoder shapes, 24-layer scan): the XLA path runs 2.3 ms vs the Pallas
+    kernel's 24.1 ms — RoPE is a tiny elementwise rotation that XLA fuses
+    into the surrounding qkv ops for free, while a standalone kernel pays
+    launch overhead and an extra HBM round-trip per call. The jnp path is
+    therefore the production default; the Pallas kernel (gd3d/kernels/
+    rope2d.py, the cuRoPE2D analogue) stays available for kernel-dev via
+    GD3D_ROPE_PALLAS=1 and is parity-tested both compiled-on-chip (the
+    probe asserts exact equality) and in interpret mode (test_rope2d.py).
+    """
+    if _USE_PALLAS and jax.default_backend() == "tpu":
+        from gd3d.kernels.rope2d import rope2d_pallas
+
+        return rope2d_pallas(tokens, positions, base, F0)
+    return rope2d_xla(tokens, positions, base, F0)
 
 
 def grid_positions(h: int, w: int, batch: int = 1) -> jnp.ndarray:

@@ -28,9 +28,14 @@ from gd3d.teachers.convert import _conv, _layernorm, _linear
 
 
 class VggtTeacher:
-    def __init__(self, cfg: VggtConfig = VggtConfig()):
+    def __init__(self, cfg: VggtConfig = VggtConfig(), sp_mesh=None,
+                 sp_axis: str = "data"):
+        """sp_mesh: a jax.sharding.Mesh enables ring-attention sequence
+        parallelism on the aggregator's S*P global-attention axis over
+        `sp_axis` (MeshConfig.sequence_parallel; gd3d/parallel/sequence.py).
+        """
         self.cfg = cfg
-        self.model = Vggt(cfg)
+        self.model = Vggt(cfg, sp_mesh=sp_mesh, sp_axis=sp_axis)
 
     def init_params(self, rng: jax.Array, hw=(28, 28)) -> dict:
         imgs = jnp.zeros((1, 2, hw[0], hw[1], 3), jnp.float32)
