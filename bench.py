@@ -53,8 +53,10 @@ def bench_mast3r(jax, jnp) -> dict:
     if td:
         cfg = cfg.replace(teacher_dtype=td)
     sd = os.environ.get("GD3D_BENCH_STUDENT_DTYPE", "bfloat16")
+    remat = os.environ.get("GD3D_BENCH_REMAT") == "1"
     cfg = cfg.replace(
-        student=dataclasses.replace(cfg.student, compute_dtype=sd))
+        student=dataclasses.replace(
+            cfg.student, compute_dtype=sd, remat=remat))
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
     BATCH = int(os.environ.get("GD3D_BENCH_BATCH", "1"))
     K = int(os.environ.get("GD3D_BENCH_K", "16"))
@@ -145,7 +147,10 @@ def bench_vggt(jax, jnp) -> dict:
     params = student.init(jax.random.key(0), img_size=64)
     trainable, frozen = split_params(params)
     teacher = VggtTeacher(VggtConfig())
-    tparams = teacher.init_params(jax.random.key(1), hw=(28, 28))
+    # init at full resolution: the track head's corr pyramid needs a real
+    # feature-map extent to trace (28x28 underflows the 7-level pyramid)
+    tparams = teacher.init_params(
+        jax.random.key(1), hw=(teacher.cfg.img_size,) * 2)
     tx = make_optimizer(cfg.train)
     state = init_state(tx, trainable)
     step = jax.jit(build_vggt_train_step(student, teacher, cfg, tx))

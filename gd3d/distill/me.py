@@ -35,7 +35,7 @@ def build_me_train_step(
         desc_2 = student.get_feature(
             params, batch["rgb_2"], batch["pts2d_2"], normalize=True
         )
-        loss = ap_loss_me(
+        loss, overflow = ap_loss_me(
             desc_1,
             desc_2,
             batch["pts3d_1"],
@@ -45,8 +45,11 @@ def build_me_train_step(
             thresh3d_pos=kcfg.thresh3d_pos,
             thres3d_neg=kcfg.thres3d_neg,
             temp=kcfg.ap_sigmoid_temp,
+            return_overflow=True,
         )
-        return loss, {"loss": loss}
+        # ap_pos_overflow > 0 means the static max_pos cap truncated
+        # positives (reference is unbounded, finetune_timm_me.py:199-217)
+        return loss, {"loss": loss, "ap_pos_overflow": overflow}
 
     def train_step(state: TrainState, frozen, batch):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

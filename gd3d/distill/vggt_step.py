@@ -59,13 +59,18 @@ def vggt_distill_loss(
     ph, pw = H // vp, W // vp
 
     tdtype = cfg.teacher_dtype if cfg.teacher_dtype != "float32" else None
-    feats = teacher.extract_features(
-        teacher_params, batch["rgb_vggt"], temperature, dtype=tdtype
+    # one aggregator pass: features AND the token subset the track head
+    # needs (the round-1 step re-ran the whole 1B trunk inside
+    # sample_keypoints — 2x teacher cost)
+    feats, track_tokens = teacher.extract_features(
+        teacher_params, batch["rgb_vggt"], temperature, dtype=tdtype,
+        return_track_tokens=True,
     )
     kp_1, kp_2, valid, mask_1, mask_2 = teacher.sample_keypoints(
         teacher_params, feats, batch["rgb_vggt"], rng,
         num_keypoints=kcfg.nms_num, min_distance=kcfg.nms_min_distance,
         border=kcfg.border, temperature=temperature,
+        track_tokens=track_tokens,
     )
     kp_1 = jax.lax.stop_gradient(kp_1)
     kp_2 = jax.lax.stop_gradient(kp_2)

@@ -47,6 +47,7 @@ class Vggt(nn.Module):
         temperature=1.0,
         query_points: Optional[jnp.ndarray] = None,
         run_track: bool = False,
+        return_track_tokens: bool = False,
     ) -> Dict:
         """images (B, S, H, W, 3) in [0, 1]."""
         B, S, H, W, _ = images.shape
@@ -70,4 +71,23 @@ class Vggt(nn.Module):
             out["track"] = coords[-1]
             out["vis"] = vis
             out["track_conf"] = conf
+        if return_track_tokens:
+            # the track head only reads tokens_list[0] (for shapes) and the
+            # dpt_hooks layers; exporting just those lets callers run
+            # track() later WITHOUT re-running the 1B aggregator — matching
+            # the reference, which tracks from saved aggregated_tokens_list
+            # (finetune_timm_vggt.py:438)
+            keep = {0, *self.cfg.dpt_hooks}
+            out["track_tokens"] = [
+                tokens_f32[i] if i in keep else None
+                for i in range(len(tokens_f32))
+            ]
         return out
+
+    def track(self, track_tokens, image_hw, query_points, iters=None):
+        """Run ONLY the track head on precomputed aggregator tokens (the
+        list returned under 'track_tokens'). Returns (B, S, N, 2) coords."""
+        coords, vis, conf = self.track_head(
+            track_tokens, tuple(image_hw), query_points, iters=iters
+        )
+        return coords[-1]

@@ -160,6 +160,7 @@ def ap_loss_me(
     thres3d_neg: float = 0.1,
     temp: float = 0.01,
     max_pos: int = 8192,
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
     """Smooth-AP loss with distance-derived positives (MEF baseline path).
 
@@ -216,4 +217,11 @@ def ap_loss_me(
 
     sums, counts = jax.vmap(per_batch)(sim, pos_mask, neg_mask)
     total, count = jnp.sum(sums), jnp.sum(counts)
-    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+    loss = jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+    if return_overflow:
+        # positives dropped by the static cap (0 = exact reference parity);
+        # the ME step logs this so a silently-truncated loss is visible
+        true_pos = jnp.sum(pos_mask.astype(jnp.float32), axis=(1, 2))
+        overflow = jnp.sum(jnp.maximum(true_pos - P, 0.0))
+        return loss, overflow
+    return loss

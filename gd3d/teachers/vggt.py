@@ -50,6 +50,7 @@ class VggtTeacher:
         rgb_vggt: jnp.ndarray,
         temperature=1.0,
         dtype: str | None = None,
+        return_track_tokens: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """rgb_vggt (B, 2, H, W, 3) in [0, 1]. Returns the per-pair dict the
         distillation step consumes (finetune_timm_vggt.py:394-412).
@@ -67,13 +68,15 @@ class VggtTeacher:
             )
             rgb_vggt = rgb_vggt.astype(bf)
         out = self.model.apply(
-            {"params": params}, rgb_vggt, temperature=temperature
+            {"params": params}, rgb_vggt, temperature=temperature,
+            return_track_tokens=return_track_tokens,
         )
         out = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32)
             if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
             out,
         )
+        track_tokens = out.pop("track_tokens", None)
         extr, intr = pose_encoding_to_extri_intri(out["pose_enc"], (H, W))
         depth = out["depth"][..., 0]  # (B, S, H, W)
 
@@ -99,7 +102,23 @@ class VggtTeacher:
             "cost_1": cost[0],
             "cost_2": cost[1],
         }
-        return jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+        feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
+        if return_track_tokens:
+            return feats, jax.tree_util.tree_map(
+                jax.lax.stop_gradient, track_tokens)
+        return feats
+
+    def track_from_tokens(
+        self, params: dict, track_tokens, image_hw, kp_1: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Track-head correspondence from PRECOMPUTED aggregator tokens —
+        does not re-run the 1B trunk (the reference tracks from its saved
+        aggregated_tokens_list, finetune_timm_vggt.py:438)."""
+        out = self.model.apply(
+            {"params": params}, track_tokens, tuple(image_hw), kp_1,
+            method=Vggt.track,
+        )
+        return jax.lax.stop_gradient(out[:, 1])
 
     def track_correspondences(
         self, params: dict, rgb_vggt: jnp.ndarray, kp_1: jnp.ndarray,
@@ -123,6 +142,7 @@ class VggtTeacher:
         min_distance: int = 5,
         border: int = 3,
         temperature=1.0,
+        track_tokens=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Static-shape port of sample_keypoints (finetune_timm_vggt.py:413-447).
 
@@ -147,7 +167,12 @@ class VggtTeacher:
         )
         # reference truncates queries to int before tracking (:437)
         kp_1 = jnp.floor(kp_1)
-        kp_2 = self.track_correspondences(params, rgb_vggt, kp_1, temperature)
+        if track_tokens is not None:
+            # fast path: track head on precomputed tokens (no 1B re-run)
+            kp_2 = self.track_from_tokens(params, track_tokens, (H, W), kp_1)
+        else:
+            kp_2 = self.track_correspondences(
+                params, rgb_vggt, kp_1, temperature)
         kp_2 = jnp.floor(kp_2)  # .int() truncation (:440); coords >= 0 here
 
         def in_border(kp):

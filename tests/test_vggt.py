@@ -153,3 +153,34 @@ def test_vggt_distill_step():
     for k in ("loss", "ap_loss", "depth_loss", "intra_depth_loss", "kl_loss"):
         assert np.isfinite(float(m[k])), k
     assert int(state2.step) == 1
+
+
+@pytest.mark.slow
+def test_track_from_tokens_matches_full_forward():
+    """The no-aggregator-rerun track path (track_from_tokens, the round-2
+    perf fix matching finetune_timm_vggt.py:438's saved-token tracking) must
+    produce the same correspondences as the full forward."""
+    from gd3d.teachers.vggt import VggtTeacher
+
+    teacher = VggtTeacher(TINY)
+    params = teacher.init_params(jax.random.key(1), hw=(28, 28))
+    rgb = jnp.asarray(np.random.RandomState(5).rand(1, 2, 28, 28, 3),
+                      jnp.float32)
+    kp_1 = jnp.floor(
+        jnp.asarray(np.random.RandomState(6).rand(1, 7, 2) * 20, jnp.float32))
+
+    want = teacher.track_correspondences(params, rgb, kp_1, 0.9)
+    feats, ttok = teacher.extract_features(
+        params, rgb, 0.9, return_track_tokens=True)
+    got = teacher.track_from_tokens(params, ttok, (28, 28), kp_1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # and sample_keypoints on the fast path equals the slow path
+    key = jax.random.key(3)
+    slow = teacher.sample_keypoints(params, feats, rgb, key)
+    fast = teacher.sample_keypoints(params, feats, rgb, key,
+                                    track_tokens=ttok)
+    for a, b in zip(slow, fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
