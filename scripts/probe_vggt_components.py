@@ -51,7 +51,9 @@ def main():
     trainable, frozen = split_params(params)
     full = merge_params(trainable, frozen)
     teacher = VggtTeacher(VggtConfig())
-    tparams = teacher.init_params(jax.random.key(1), hw=(28, 28))
+    # full-res init: the track head's corr pyramid underflows at tiny hw
+    tparams = teacher.init_params(
+        jax.random.key(1), hw=(teacher.cfg.img_size,) * 2)
 
     rng = np.random.RandomState(0)
     V, R = 518, 512
