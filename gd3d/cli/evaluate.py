@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--num-cats", type=int, default=None)
     p.add_argument("--num-videos", type=int, default=30)
     p.add_argument("--data-root", default="data")
+    p.add_argument("--dataset", default="scannetpp",
+                   help="run-dir tag only (evaluation_output layout parity)")
     p.add_argument("--out", default="evaluation_output")
     args = p.parse_args(argv)
 
@@ -78,8 +80,10 @@ def main(argv=None):
     # vanilla has no refine_conv in the reference harness
     refine = args.matcher != "vanilla"
 
+    # evaluation_output/{model}/{matcher}/{backbone}/{dataset}/{ts}
+    # (src/evaluate_timm.py:600-602)
     out_dir = (
-        Path(args.out) / "timm" / args.matcher / "ViT-B-16"
+        Path(args.out) / "timm" / args.matcher / "ViT-B-16" / args.dataset
         / time.strftime("%Y%m%d_%H%M%S")
     )
     out_dir.mkdir(parents=True, exist_ok=True)
