@@ -54,9 +54,10 @@ def bench_mast3r(jax, jnp) -> dict:
         cfg = cfg.replace(teacher_dtype=td)
     sd = os.environ.get("GD3D_BENCH_STUDENT_DTYPE", "bfloat16")
     remat = os.environ.get("GD3D_BENCH_REMAT") == "1"
+    stream = os.environ.get("GD3D_BENCH_BF16_STREAM") == "1"
     cfg = cfg.replace(
         student=dataclasses.replace(
-            cfg.student, compute_dtype=sd, remat=remat))
+            cfg.student, compute_dtype=sd, remat=remat, bf16_stream=stream))
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
     BATCH = int(os.environ.get("GD3D_BENCH_BATCH", "1"))
     K = int(os.environ.get("GD3D_BENCH_K", "16"))
@@ -129,7 +130,7 @@ def bench_vggt(jax, jnp) -> dict:
     from gd3d.core.config import DistillConfig, LossWeights
     from gd3d.distill import make_optimizer
     from gd3d.distill.train_state import init_state
-    from gd3d.distill.vggt_step import build_vggt_train_step
+    from gd3d.distill.vggt_step import build_vggt_train_multistep
     from gd3d.models.student import Student, split_params
     from gd3d.models.vggt.config import VggtConfig
     from gd3d.teachers.vggt import VggtTeacher
@@ -153,24 +154,25 @@ def bench_vggt(jax, jnp) -> dict:
         jax.random.key(1), hw=(teacher.cfg.img_size,) * 2)
     tx = make_optimizer(cfg.train)
     state = init_state(tx, trainable)
-    step = jax.jit(build_vggt_train_step(student, teacher, cfg, tx))
+    # K steps per dispatch (lax.scan) — same tunnel-overhead amortization as
+    # the flagship MASt3R bench
+    K = int(os.environ.get("GD3D_BENCH_VGGT_K", "4"))
+    step = jax.jit(build_vggt_train_multistep(student, teacher, cfg, tx))
 
     rng = np.random.RandomState(0)
     V, R = 518, 512
     batch = {
-        "rgb_1": jnp.asarray(rng.rand(1, R, R, 3), jnp.float32),
-        "rgb_2": jnp.asarray(rng.rand(1, R, R, 3), jnp.float32),
-        "rgb_vggt": jnp.asarray(rng.rand(1, 2, V, V, 3), jnp.float32),
+        "rgb_1": jnp.asarray(rng.rand(K, 1, R, R, 3), jnp.float32),
+        "rgb_2": jnp.asarray(rng.rand(K, 1, R, R, 3), jnp.float32),
+        "rgb_vggt": jnp.asarray(rng.rand(K, 1, 2, V, V, 3), jnp.float32),
     }
     key = jax.random.key(0)
     state, metrics = step(state, frozen, tparams, batch, 1.0, key)
-    float(metrics["loss"])
+    float(metrics["loss"][-1])
     t0 = time.perf_counter()
-    N = 4
-    for i in range(N):
-        state, metrics = step(state, frozen, tparams, batch, 1.0, key)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / N
+    state, metrics = step(state, frozen, tparams, batch, 1.0, key)
+    float(metrics["loss"][-1])
+    dt = (time.perf_counter() - t0) / K
     return {
         "metric": "vggt_distill_pairs_per_sec",
         "value": round(1.0 / dt, 4),

@@ -46,7 +46,7 @@ def parse_args(argv=None):
     p.add_argument("--debug-nans", action="store_true",
                    help="jax_debug_nans: fail fast on NaN/Inf in any op")
     p.add_argument("--multistep", type=int, default=1, metavar="K",
-                   help="MASt3R only: run K optimizer steps per XLA dispatch "
+                   help="MASt3R/VGGT: run K optimizer steps per XLA dispatch "
                         "(lax.scan trainer; amortizes host dispatch, +9%% on "
                         "the v5e bench at K=8)")
     p.add_argument("--tensorboard", action="store_true",
@@ -211,7 +211,12 @@ def main(argv=None):
         else:
             print("WARNING: no --teacher-ckpt; random VGGT weights")
             teacher_params = teacher.init_params(jax.random.key(1), hw=(28, 28))
-        step_fn = build_vggt_train_step(student, teacher, cfg, tx)
+        if args.multistep > 1:
+            from gd3d.distill.vggt_step import build_vggt_train_multistep
+
+            step_fn = build_vggt_train_multistep(student, teacher, cfg, tx)
+        else:
+            step_fn = build_vggt_train_step(student, teacher, cfg, tx)
         rng = jax.random.key(cfg.train.seed)
 
         def run_step(state, batch, temperature):
@@ -223,9 +228,9 @@ def main(argv=None):
 
     from gd3d.distill.mast3r_step import temperature_schedule
 
-    # K optimizer steps per XLA dispatch (MASt3R multistep trainer); K=1 is
-    # the plain one-step-per-dispatch path for every teacher.
-    K = args.multistep if cfg.teacher == "mast3r" else 1
+    # K optimizer steps per XLA dispatch (scan trainers); K=1 is the plain
+    # one-step-per-dispatch path for every teacher.
+    K = args.multistep if cfg.teacher in ("mast3r", "vggt") else 1
     batch_size = n_data * args.batch_per_device
 
     def host_batches(epoch):

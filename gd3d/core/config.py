@@ -57,6 +57,13 @@ class StudentConfig:
     # AMP autocast (src/finetune_timm_mast3r.py:758).
     compute_dtype: str = "float32"
 
+    # carry the transformer residual stream in bf16 too (torch autocast
+    # keeps residual adds in half precision while layer_norm computes fp32
+    # — this matches the reference's AMP semantics even more closely than
+    # the fp32 stream, and halves the stream's HBM traffic). Only takes
+    # effect when compute_dtype="bfloat16".
+    bf16_stream: bool = False
+
     @property
     def dtype(self):
         import jax.numpy as jnp

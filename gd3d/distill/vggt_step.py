@@ -200,3 +200,31 @@ def build_vggt_train_step(
         )
 
     return train_step
+
+
+def build_vggt_train_multistep(
+    student: Student,
+    teacher: VggtTeacher,
+    cfg: DistillConfig,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """K optimizer steps per dispatch: lax.scan over a (K, ...) batch stack.
+
+    Same dispatch-amortization as build_mast3r_train_multistep (~40-60 ms of
+    tunnel/host overhead per dispatch is paid once per K pairs). The NMS
+    tie-break rng is folded per scan slice so every step samples fresh
+    keypoints, matching K sequential train_step calls."""
+    step = build_vggt_train_step(student, teacher, cfg, tx)
+
+    def multi_step(state, frozen, teacher_params, batches, temperature, rng):
+        rngs = jax.random.split(rng, jax.tree_util.tree_leaves(batches)[0].shape[0])
+
+        def body(s, slice_):
+            batch, key = slice_
+            s, metrics = step(s, frozen, teacher_params, batch, temperature,
+                              key)
+            return s, metrics
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return multi_step

@@ -85,6 +85,13 @@ def _reference_rows(teacher_p, student_cost, row_mask, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _masked_softmax_kl_rows_f32(teacher_p, student_cost, row_mask,
+                                eps: float = 1e-8, interpret: bool = False):
+    if interpret or jax.default_backend() == "tpu":
+        return _fwd_impl(teacher_p, student_cost, row_mask, eps, interpret)
+    return _reference_rows(teacher_p, student_cost, row_mask, eps)
+
+
 def masked_softmax_kl_rows(teacher_p, student_cost, row_mask,
                            eps: float = 1e-8, interpret: bool = False):
     """Per-row KL(teacher || masked-softmax(student)) -> (B, N).
@@ -93,15 +100,19 @@ def masked_softmax_kl_rows(teacher_p, student_cost, row_mask,
     raw similarities, row_mask (B, N) bool. mean() of the result equals
     kl_divergence_map(masked_patch_cost(teacher...), masked_patch_cost(
     student..., use_softmax=True)).
+
+    Inputs are upcast to fp32 (differentiably) before the kernel: the loss
+    is always-fp32 by policy (torch autocast also runs softmax/KL in fp32),
+    and mosaic cannot lower bf16 compares on this target anyway.
     """
-    if interpret or jax.default_backend() == "tpu":
-        return _fwd_impl(teacher_p, student_cost, row_mask, eps, interpret)
-    return _reference_rows(teacher_p, student_cost, row_mask, eps)
+    return _masked_softmax_kl_rows_f32(
+        teacher_p.astype(jnp.float32), student_cost.astype(jnp.float32),
+        row_mask, eps, interpret)
 
 
 def _vjp_fwd(teacher_p, student_cost, row_mask, eps, interpret):
-    out = masked_softmax_kl_rows(teacher_p, student_cost, row_mask, eps,
-                                 interpret)
+    out = _masked_softmax_kl_rows_f32(teacher_p, student_cost, row_mask, eps,
+                                      interpret)
     return out, (teacher_p, student_cost, row_mask)
 
 
@@ -118,4 +129,4 @@ def _vjp_bwd(eps, interpret, res, g):
     return (None, dcost.astype(student_cost.dtype), None)
 
 
-masked_softmax_kl_rows.defvjp(_vjp_fwd, _vjp_bwd)
+_masked_softmax_kl_rows_f32.defvjp(_vjp_fwd, _vjp_bwd)

@@ -292,6 +292,11 @@ class ViT(nn.Module):
         pos = resample_pos_embed(pos_embed, (gh, gw), cfg.num_prefix_tokens)
         x = jnp.concatenate([jnp.tile(cls_token, (B, 1, 1)), x], axis=1)
         x = x + pos
+        if cfg.bf16_stream and cfg.dtype == jnp.bfloat16:
+            # bf16 residual stream (torch-autocast semantics): LayerNorms
+            # below still compute/emit fp32 (their params are fp32 and flax
+            # promotes), only the carried stream and residual adds are bf16.
+            x = x.astype(jnp.bfloat16)
 
         n_plain = min(cfg.lora_start_block, cfg.depth)
         n_adapt = cfg.depth - n_plain

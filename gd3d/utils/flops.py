@@ -66,6 +66,14 @@ def count_jaxpr_flops(jaxpr, while_trips: int = 1) -> float:
             branches = eqn.params["branches"]
             total += max(
                 count_jaxpr_flops(b, while_trips) for b in branches)
+        elif name == "pallas_call":
+            # kernel body runs once per grid cell (e.g. the flash-attention
+            # q/k block loops) — without the multiplier the student/teacher
+            # attention FLOPs vanish from the count
+            grid = getattr(eqn.params.get("grid_mapping"), "grid", ())
+            mult = math.prod(int(g) for g in grid if isinstance(g, int))
+            total += max(mult, 1) * count_jaxpr_flops(
+                eqn.params["jaxpr"], while_trips)
         else:
             for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                 sub = eqn.params.get(key)

@@ -34,8 +34,9 @@ TINY = dict(
 )
 
 
-def _forward(compute_dtype, params=None):
-    cfg = StudentConfig(**TINY, compute_dtype=compute_dtype)
+def _forward(compute_dtype, params=None, bf16_stream=False):
+    cfg = StudentConfig(**TINY, compute_dtype=compute_dtype,
+                        bf16_stream=bf16_stream)
     student = Student(cfg)
     if params is None:
         params = student.init(jax.random.key(0), img_size=32)
@@ -66,6 +67,19 @@ def test_bf16_forward_tracks_fp32():
     assert err < 5e-2, f"bf16 feature drift {err}"
     cos = float(jnp.mean(jnp.sum(f32 * bf16, -1)))
     assert cos > 0.999, f"bf16 feature cosine {cos}"
+
+
+def test_bf16_stream_tracks_fp32_and_outputs_fp32():
+    """bf16 residual stream (StudentConfig.bf16_stream): torch-autocast
+    keeps residual adds in half precision; outputs must still be fp32 and
+    track the fp32 forward."""
+    params, f32 = _forward("float32")
+    _, bf16 = _forward("bfloat16", params, bf16_stream=True)
+    assert bf16.dtype == jnp.float32
+    err = float(jnp.abs(f32 - bf16).max())
+    assert err < 8e-2, f"bf16-stream feature drift {err}"
+    cos = float(jnp.mean(jnp.sum(f32 * bf16, -1)))
+    assert cos > 0.998, f"bf16-stream feature cosine {cos}"
 
 
 def _me_step_loss(compute_dtype):

@@ -85,3 +85,16 @@ def test_me_train_step_flops_scale():
              synthetic_me_batch(0, batch=1, img=32, n_kps=8).items()}
     flops = count_fn_flops(step, state, frozen, batch)
     assert 1e6 < flops < 1e12, flops
+
+
+def test_pallas_flash_attention_counted():
+    """pallas_call kernels must contribute body-FLOPs x grid size; the flash
+    q@k^T + attn@v matmuls are the student/teacher hot path."""
+    from gd3d.ops.attention import _flash_sdpa
+
+    B, N, H, D = 1, 1024, 4, 64
+    q = jnp.zeros((B, N, H, D), jnp.bfloat16)
+    got = count_fn_flops(lambda q, k, v: _flash_sdpa(q, k, v, 0.125), q, q, q)
+    expect = 2 * 2 * B * H * N * N * D  # qk + av
+    assert got >= expect, (got, expect)
+    assert got <= 2.0 * expect, (got, expect)

@@ -154,6 +154,17 @@ def test_vggt_distill_step():
         assert np.isfinite(float(m[k])), k
     assert int(state2.step) == 1
 
+    # K-steps-per-dispatch scan trainer: 2 scanned steps over the same batch
+    # advance the state twice and return stacked finite metrics
+    from gd3d.distill.vggt_step import build_vggt_train_multistep
+
+    multi = jax.jit(build_vggt_train_multistep(student, teacher, cfg, tx))
+    stacked = {k: jnp.stack([v, v]) for k, v in batch.items()}
+    state3, ms = multi(state, frozen, tparams, stacked, 1.0, jax.random.key(2))
+    assert int(state3.step) == 2
+    assert ms["loss"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(ms["loss"])))
+
 
 @pytest.mark.slow
 def test_track_from_tokens_matches_full_forward():
