@@ -35,7 +35,6 @@ from gd3d.ops.geometry import extract_kp_depth, point_cloud_to_depth
 from gd3d.ops.losses import (
     _masked_mean,
     ap_loss_paired,
-    pairwise_logistic_ranking_loss,
 )
 from gd3d.ops.masks import masked_patch_cost, patch_mask_from_kps
 from gd3d.teachers.mast3r import Mast3rTeacher
@@ -126,14 +125,13 @@ def mast3r_distill_loss(
     gt_diff = jax.lax.stop_gradient(jnp.tanh(kp_depth_1 - kp_depth_2))
     depth_loss = _masked_mean(jnp.abs(pred_depth_diff - gt_diff), valid)
 
-    score_all = student.pairwise_score_diff(params, kp_feat_all)
-    intra_1 = pairwise_logistic_ranking_loss(
-        score_all[:B], kp_depth_1, kcfg.depth_rank_threshold, valid
+    # fused Pallas pairwise-ranking on TPU, jnp score_diff path elsewhere
+    intra_depth_loss = student.intra_depth_loss(
+        params, kp_feat_all,
+        jnp.concatenate([kp_depth_1, kp_depth_2], axis=0),
+        jnp.concatenate([valid, valid], axis=0),
+        kcfg.depth_rank_threshold,
     )
-    intra_2 = pairwise_logistic_ranking_loss(
-        score_all[B:], kp_depth_2, kcfg.depth_rank_threshold, valid
-    )
-    intra_depth_loss = (intra_1 + intra_2) / 2.0
 
     # 4. cost-volume KL (finetune_timm_mast3r.py:504-540); both views in one
     # cost forward

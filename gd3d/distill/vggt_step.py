@@ -28,7 +28,6 @@ from gd3d.ops.losses import (
     _masked_mean,
     ap_loss_paired,
     kl_divergence_map,
-    pairwise_logistic_ranking_loss,
 )
 from gd3d.ops.masks import masked_patch_cost
 from gd3d.teachers.vggt import VggtTeacher
@@ -100,14 +99,13 @@ def vggt_distill_loss(
     gt_diff = jax.lax.stop_gradient(jnp.tanh(kp_depth_1 - kp_depth_2))
     depth_loss = _masked_mean(jnp.abs(pred_depth_diff - gt_diff), valid)
 
-    score_all = student.pairwise_score_diff(params, kp_feat_all)
-    intra_1 = pairwise_logistic_ranking_loss(
-        score_all[:B], kp_depth_1, kcfg.depth_rank_threshold, valid,
+    # fused Pallas pairwise-ranking on TPU, jnp score_diff path elsewhere
+    intra_depth_loss = student.intra_depth_loss(
+        params, kp_feat_all,
+        jnp.concatenate([kp_depth_1, kp_depth_2], axis=0),
+        jnp.concatenate([valid, valid], axis=0),
+        kcfg.depth_rank_threshold,
     )
-    intra_2 = pairwise_logistic_ranking_loss(
-        score_all[B:], kp_depth_2, kcfg.depth_rank_threshold, valid,
-    )
-    intra_depth_loss = (intra_1 + intra_2) / 2.0
 
     # cost KL at the /14 grid (finetune_timm_vggt.py:488-533)
     fc_all = student.get_feature_cost_vggt(

@@ -85,7 +85,8 @@ class Student:
         self.vit = ViT(cfg)
         self.refine_conv = RefineConv(cfg.embed_dim)
         self.depth_head = DepthDiffHead(
-            cfg.embed_dim, cfg.depth_head_hidden, cfg.depth_head_tanh
+            cfg.embed_dim, cfg.depth_head_hidden, cfg.depth_head_tanh,
+            dtype=cfg.dtype,
         )
         # finetune_timm_me.get_feature keeps DINO-era 14-px interp constants
         # (src/finetune_timm_me.py:155) — preserved behind this flag.
@@ -356,6 +357,79 @@ class Student:
             features,
             method=DepthDiffHead.pairwise_score_diff,
         )
+
+    def intra_depth_loss(
+        self,
+        params: dict,
+        kp_feat_all: jnp.ndarray,
+        kp_depth_all: jnp.ndarray,
+        valid_all: jnp.ndarray,
+        depth_threshold: float,
+    ) -> jnp.ndarray:
+        """Mean of the two per-view pairwise logistic ranking losses
+        (utils/losses.py:18-41 driven by the DepthAwareFeatureFusion head).
+
+        kp_feat_all (2B, N, C) stacked views, kp_depth_all (2B, N),
+        valid_all (2B, N). With GD3D_PAIRWISE_PALLAS=1 on TPU the
+        (N, N, hidden) score chain + loss runs as ONE fused Pallas kernel
+        (gd3d/kernels/pairwise_rank.py — the SURVEY §2.5 'pairwise ranking
+        N² expansion' target); the default is the jnp pairwise_score_diff
+        path, which MEASURES EQUAL on one v5e (7.3 ms vs 7.8 ms fused at
+        N=672: the op is compute-dense, so the kernel's fwd recompute in
+        both backward passes costs what XLA's HBM intermediates cost —
+        same lesson as the RoPE2D kernel, PERF_NOTES 'kernels must beat
+        XLA's fusion'). The kernel removes the ~0.5 GB transient
+        intermediates, so it may win where HBM is the binding constraint.
+        Identical numerics either way (parity-tested in
+        tests/test_pairwise_rank_kernel.py, on-chip to fp32 round-off).
+        """
+        import os
+
+        import jax as _jax
+
+        B = kp_feat_all.shape[0] // 2
+        dh = params["depth_diff_head"]
+        use_fused = (
+            self.cfg.depth_head_tanh
+            and _jax.default_backend() == "tpu"
+            and os.environ.get("GD3D_PAIRWISE_PALLAS") == "1"
+        )
+        if use_fused:
+            from gd3d.kernels.pairwise_rank import pairwise_ranking_sums_fused
+
+            u = (
+                kp_feat_all.astype(jnp.float32) @ dh["fusion_in"]["kernel"]
+                + dh["fusion_in"]["bias"]
+            )
+            sums, cnts = pairwise_ranking_sums_fused(
+                u,
+                dh["fusion_in"]["bias"],
+                dh["fusion_ln"]["scale"],
+                dh["fusion_ln"]["bias"],
+                dh["fusion_out"]["kernel"][:, 0],
+                dh["fusion_out"]["bias"],
+                kp_depth_all,
+                valid_all,
+                depth_threshold,
+            )
+
+            def view_mean(s, c):
+                tot, cnt = jnp.sum(s), jnp.sum(c)
+                return jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), 0.0)
+
+            return (view_mean(sums[:B], cnts[:B])
+                    + view_mean(sums[B:], cnts[B:])) / 2.0
+
+        from gd3d.ops.losses import pairwise_logistic_ranking_loss
+
+        score_all = self.pairwise_score_diff(params, kp_feat_all)
+        intra_1 = pairwise_logistic_ranking_loss(
+            score_all[:B], kp_depth_all[:B], depth_threshold, valid_all[:B]
+        )
+        intra_2 = pairwise_logistic_ranking_loss(
+            score_all[B:], kp_depth_all[B:], depth_threshold, valid_all[B:]
+        )
+        return (intra_1 + intra_2) / 2.0
 
 
 # --------------------------------------------------------------------------

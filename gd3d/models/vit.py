@@ -342,29 +342,38 @@ class DepthDiffHead(nn.Module):
     optional tanh. The depth_attention branch (depths provided) exists for
     parity but the training pipeline always calls the feature-only path
     (src/finetune_timm_mast3r.py:492, utils/losses.py:34).
+
+    dtype: compute dtype for the Dense/GELU chain (LayerNorm promotes to
+    fp32 as its params are fp32 — torch-autocast semantics). Matters for
+    pairwise_score_diff, whose (B, N, N, hidden) intermediates are pure
+    HBM traffic.
     """
 
     input_dim: int
     hidden_dim: int = 128
     use_tanh: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.depth_attn_fc1 = nn.Dense(
             self.hidden_dim,
             kernel_init=torch_linear_init(1),
             bias_init=torch_linear_init(1),
+            dtype=self.dtype,
             name="depth_attn_fc1",
         )
         self.depth_attn_fc2 = nn.Dense(
             self.input_dim,
             kernel_init=torch_linear_init(self.hidden_dim),
             bias_init=torch_linear_init(self.hidden_dim),
+            dtype=self.dtype,
             name="depth_attn_fc2",
         )
         self.fusion_in = nn.Dense(
             self.hidden_dim,
             kernel_init=torch_linear_init(self.input_dim),
             bias_init=torch_linear_init(self.input_dim),
+            dtype=self.dtype,
             name="fusion_in",
         )
         self.fusion_ln = nn.LayerNorm(epsilon=1e-5, name="fusion_ln")
@@ -372,13 +381,15 @@ class DepthDiffHead(nn.Module):
             1,
             kernel_init=torch_linear_init(self.hidden_dim),
             bias_init=torch_linear_init(self.hidden_dim),
+            dtype=self.dtype,
             name="fusion_out",
         )
 
     def _fusion_tail(self, h):
-        h = self.fusion_ln(h)
+        h = self.fusion_ln(h)  # promotes to fp32 (torch autocast: LN is fp32)
         h = nn.gelu(h, approximate=False)
-        out = self.fusion_out(h)[..., 0]
+        # scores re-enter fp32 loss math regardless of compute dtype
+        out = self.fusion_out(h)[..., 0].astype(jnp.float32)
         if self.use_tanh:
             out = jnp.tanh(out)
         return out

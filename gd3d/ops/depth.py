@@ -27,13 +27,23 @@ def _windows(x: jnp.ndarray, k: int, mode: str = "reflect") -> jnp.ndarray:
     )
 
 
+def _window_sum(x: jnp.ndarray, k: int, mode: str) -> jnp.ndarray:
+    """Sum over k x k windows via reduce_window — identical to summing the
+    _windows stack but without materializing (k*k, H, W) in HBM (the r=8
+    guided filter would stack 64 shifted copies per box filter otherwise)."""
+    p = _pad2d(x, k, mode)
+    return jax.lax.reduce_window(
+        p, 0.0, jax.lax.add, (k, k), (1, 1), "VALID"
+    )
+
+
 def _box_filter(x: jnp.ndarray, k: int, mode: str = "reflect") -> jnp.ndarray:
-    return jnp.mean(_windows(x, k, mode), axis=0)
+    return _window_sum(x, k, mode) / float(k * k)
 
 
 def _conv_ones(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """F.conv2d with an all-ones k x k kernel, zero 'same' padding."""
-    return jnp.sum(_windows(x, k, mode="constant"), axis=0)
+    return _window_sum(x, k, mode="constant")
 
 
 def median_blur(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -1,0 +1,224 @@
+"""Component budget of the flagship MASt3R distillation step at bench
+shapes.
+
+Methodology matters on this host: per-dispatch tunnel overhead is ~40 ms,
+so each piece is scanned R times inside ONE dispatch — but the scan must
+consume DISTINCT inputs per iteration (xs-scan over an (R, ...) stack), or
+XLA hoists the loop-invariant body and computes it once, silently dividing
+the reported time by R (this corrupted two earlier probe generations).
+
+Pieces: teacher extract, keypoint pipeline, depth raster, the student's
+fused main pass (desc+intermediates), cost pass, pairwise tail — and the
+REAL train step (build_mast3r_train_step) as the absolute cross-check
+against bench.py.
+
+Run: python scripts/probe_mast3r_components.py [R]
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+R = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from gd3d.core.config import DistillConfig
+    from gd3d.distill import make_optimizer
+    from gd3d.distill.keypoints import filter_and_match_keypoints
+    from gd3d.distill.mast3r_step import build_mast3r_train_step
+    from gd3d.distill.train_state import init_state
+    from gd3d.models.mast3r import Mast3rConfig
+    from gd3d.models.student import Student, merge_params, split_params
+    from gd3d.ops.depth import post_process_depth
+    from gd3d.ops.geometry import point_cloud_to_depth
+    from gd3d.ops.losses import pairwise_logistic_ranking_loss
+    from gd3d.teachers.mast3r import Mast3rTeacher
+
+    global R
+    if len(sys.argv) > 1:
+        R = int(sys.argv[1])
+
+    cfg = DistillConfig(teacher="mast3r", dataset="scannetpp")
+    cfg = cfg.replace(student=dataclasses.replace(
+        cfg.student, compute_dtype=os.environ.get(
+            "GD3D_STUDENT_DTYPE", "bfloat16")))
+    kcfg = cfg.keypoints
+    H, W = 336, 512
+    G = (H // 16) * (W // 16)
+
+    student = Student(cfg.student)
+    params0 = student.init(jax.random.key(0), img_size=64)
+    trainable, frozen = split_params(params0)
+    teacher = Mast3rTeacher(Mast3rConfig())
+    tparams = teacher.init_params(jax.random.key(1), hw=(64, 64))
+
+    rng = np.random.RandomState(0)
+
+    def timed(label, fn, xs, *consts):
+        """fn(x_slice, *consts) scanned over the leading R axis of xs."""
+
+        def scanned(xs, *consts):
+            def body(c, x):
+                out = fn(x, *consts)
+                leaves = jax.tree_util.tree_leaves(out)
+                acc = sum(l.astype(jnp.float32).reshape(-1)[0] for l in leaves)
+                return c + acc, ()
+
+            tot, _ = jax.lax.scan(body, 0.0, xs)
+            return tot
+
+        g = jax.jit(scanned)
+        out = g(xs, *consts)
+        np.asarray(out).reshape(-1)[0]
+        t0 = time.perf_counter()
+        n = 3
+        for _ in range(n):
+            out = g(xs, *consts)
+        np.asarray(out).reshape(-1)[0]
+        dt = (time.perf_counter() - t0) / n / R
+        print(f"{label}: {dt * 1e3:.1f} ms", flush=True)
+        return dt
+
+    # ---- teacher ----
+    imgs = {
+        "i1": jnp.asarray(rng.rand(R, 1, H, W, 3) * 2 - 1, jnp.float32),
+        "i2": jnp.asarray(rng.rand(R, 1, H, W, 3) * 2 - 1, jnp.float32),
+    }
+    timed("teacher extract_features (fp32)        ",
+          lambda x, tp: teacher.extract_features(
+              tp, x["i1"], x["i2"], 1.0, dtype=None)["desc_1"],
+          imgs, tparams)
+
+    # ---- keypoint pipeline ----
+    feats = {
+        "desc_1": jnp.asarray(rng.randn(R, H, W, 24), jnp.float32),
+        "desc_2": jnp.asarray(rng.randn(R, H, W, 24), jnp.float32),
+        "conf_1": jnp.asarray(rng.rand(R, H, W), jnp.float32),
+        "conf_2": jnp.asarray(rng.rand(R, H, W), jnp.float32),
+    }
+    timed("keypoint pipeline (recip-NN + filters) ",
+          lambda f: filter_and_match_keypoints(
+              f, H, W, subsample=kcfg.nn_subsample, border=kcfg.border,
+              min_conf_percent=kcfg.min_conf_percentile)[0],
+          feats)
+
+    # ---- depth raster (one view) ----
+    Kmat = jnp.asarray(np.array(
+        [[256.0, 0, W / 2], [0, 256.0, H / 2], [0, 0, 1]], np.float32))
+    pts = jnp.asarray(rng.rand(R, H * W, 3) * 4 + 0.5, jnp.float32)
+    timed("depth raster + postprocess (one view)  ",
+          lambda p, k: post_process_depth(
+              point_cloud_to_depth(p, k, W, H), kernel_size=3),
+          pts, Kmat)
+
+    # ---- student main pass fwd+bwd ----
+    sx = {
+        "rgb": jnp.asarray(rng.rand(R, 2, H, W, 3), jnp.float32),
+        "kps": jnp.asarray(
+            rng.rand(R, 2, G, 2) * np.asarray([W - 2, H - 2]), jnp.float32),
+    }
+
+    def main_pass_loss(x, tr, fz):
+        p = merge_params(tr, fz)
+        desc, kp_feat = student.get_feature_and_intermediates(
+            p, x["rgb"], x["kps"], n=(4, 5, 6, 7))
+        return (desc.astype(jnp.float32) ** 2).mean() + (
+            kp_feat.astype(jnp.float32) ** 2).mean()
+
+    timed("student main pass fwd+bwd (4160tok,B=2)",
+          lambda x, tr, fz: jax.grad(main_pass_loss, argnums=1)(x, tr, fz),
+          sx, trainable, frozen)
+
+    def desc_only_loss(x, tr, fz):
+        p = merge_params(tr, fz)
+        # n=(4,) but kp_feat unused -> XLA DCEs the intermediate branch;
+        # isolates the desc/refine path cost
+        desc, _ = student.get_feature_and_intermediates(
+            p, x["rgb"], x["kps"], n=(4,))
+        return (desc.astype(jnp.float32) ** 2).mean()
+
+    timed("  ... desc branch only (no intermeds)  ",
+          lambda x, tr, fz: jax.grad(desc_only_loss, argnums=1)(x, tr, fz),
+          sx, trainable, frozen)
+
+    def cost_loss(x, tr, fz):
+        p = merge_params(tr, fz)
+        fc = student.get_feature_cost(p, x["rgb"], normalize=False)
+        return (fc.astype(jnp.float32) ** 2).mean()
+
+    timed("student cost pass fwd+bwd (672tok,B=2) ",
+          lambda x, tr, fz: jax.grad(cost_loss, argnums=1)(x, tr, fz),
+          sx, trainable, frozen)
+
+    # ---- pairwise tail ----
+    px = {
+        "feats": jnp.asarray(rng.rand(R, 2, G, cfg.student.embed_dim),
+                             jnp.float32),
+        "depths": jnp.asarray(rng.rand(R, 2, G), jnp.float32),
+        "valid": jnp.asarray(rng.rand(R, 2, G) > 0.3),
+    }
+
+    def pair_loss(x, tr, fz):
+        p = merge_params(tr, fz)
+        score = student.pairwise_score_diff(p, x["feats"])
+        return (pairwise_logistic_ranking_loss(
+            score[:1], x["depths"][:1], 0.05, x["valid"][:1])
+            + pairwise_logistic_ranking_loss(
+                score[1:], x["depths"][1:], 0.05, x["valid"][1:])) / 2.0
+
+    timed("pairwise tail fwd+bwd (672^2 x 128)    ",
+          lambda x, tr, fz: jax.grad(pair_loss, argnums=1)(x, tr, fz),
+          px, trainable, frozen)
+
+    # ---- REAL train step (absolute cross-check vs bench.py) ----
+    tx = make_optimizer(cfg.train)
+    state = init_state(tx, trainable)
+    step = build_mast3r_train_step(student, teacher, cfg, tx, has_depth=False)
+    bx = {
+        "rgb_1": jnp.asarray(rng.rand(R, 1, 512, 512, 3), jnp.float32),
+        "rgb_2": jnp.asarray(rng.rand(R, 1, 512, 512, 3), jnp.float32),
+        "rgb_mast3r_1": jnp.asarray(
+            rng.rand(R, 1, H, W, 3) * 2 - 1, jnp.float32),
+        "rgb_mast3r_2": jnp.asarray(
+            rng.rand(R, 1, H, W, 3) * 2 - 1, jnp.float32),
+        "intrinsic": jnp.asarray(np.tile(np.array(
+            [[256.0, 0, W / 2], [0, 256.0, H / 2], [0, 0, 1]],
+            np.float32), (R, 1, 1, 1))),
+    }
+
+    def scanned_step(state, bx, fz, tp):
+        def body(s, b):
+            s, m = step(s, fz, tp, b, 1.0)
+            return s, m["loss"]
+
+        s, losses = jax.lax.scan(body, state, bx)
+        return losses.sum()
+
+    g = jax.jit(scanned_step)
+    out = g(state, bx, frozen, tparams)
+    np.asarray(out).reshape(-1)[0]
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        out = g(state, bx, frozen, tparams)
+    np.asarray(out).reshape(-1)[0]
+    dt = (time.perf_counter() - t0) / n / R
+    print(f"REAL train step (scan over {R} batches) : {dt * 1e3:.1f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
