@@ -90,6 +90,17 @@ def bench_mast3r(jax, jnp) -> dict:
         ),
     }
 
+    # GD3D_BENCH_MESH=1: run the identical step THROUGH the DP mesh/pjit
+    # machinery (the exact multi-chip code path, on however many chips are
+    # attached) — quantifies mesh-path overhead vs the plain jit above.
+    mesh_ctx = None
+    if os.environ.get("GD3D_BENCH_MESH") == "1":
+        from gd3d.core.mesh import make_mesh, shard_batch
+
+        n_dev = len(jax.devices())
+        mesh_ctx = make_mesh(n_data=n_dev, n_model=1)
+        batches = shard_batch(mesh_ctx, batches, axis=1)
+
     # analytic matmul/conv FLOP count (jaxpr walk; XLA's cost_analysis
     # counts scan bodies once, undercounting scan-over-layers models ~20x)
     from gd3d.utils.flops import count_fn_flops
@@ -99,21 +110,27 @@ def bench_mast3r(jax, jnp) -> dict:
             step_fn, state, frozen, tparams, batches, 1.0, while_trips=3)
     except Exception:
         flops = float("nan")
-    compiled = jax.jit(step_fn).lower(
-        state, frozen, tparams, batches, 1.0).compile()
+    import contextlib
 
-    state, metrics = compiled(state, frozen, tparams, batches, 1.0)
-    float(metrics["loss"][-1])  # hard sync (tunnel ignores block_until_ready)
+    with (mesh_ctx or contextlib.nullcontext()):
+        compiled = jax.jit(step_fn).lower(
+            state, frozen, tparams, batches, 1.0).compile()
 
-    t0 = time.perf_counter()
-    state, metrics = compiled(state, frozen, tparams, batches, 1.0)
-    float(metrics["loss"][-1])
-    dt = time.perf_counter() - t0
+        state, metrics = compiled(state, frozen, tparams, batches, 1.0)
+        # hard sync (tunnel ignores block_until_ready)
+        float(metrics["loss"][-1])
+
+        t0 = time.perf_counter()
+        state, metrics = compiled(state, frozen, tparams, batches, 1.0)
+        float(metrics["loss"][-1])
+        dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * K / dt
     mfu = flops / dt / V5E_BF16_PEAK_FLOPS
     _log(f"mast3r step: student={sd} teacher={cfg.teacher_dtype} "
-         f"batch={BATCH} K={K}: {pairs_per_sec:.3f} pairs/s, "
+         f"batch={BATCH} K={K}"
+         f"{' mesh=' + str(dict(mesh_ctx.shape)) if mesh_ctx else ''}: "
+         f"{pairs_per_sec:.3f} pairs/s, "
          f"{flops / (BATCH * K) / 1e12:.2f} TFLOP/pair (analytic matmul/conv "
          f"count), MFU={mfu * 100:.1f}% of v5e bf16 peak")
     return {

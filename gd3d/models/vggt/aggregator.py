@@ -42,9 +42,14 @@ class AlternatingPair(nn.Module):
     sp_axis: str = "data"
 
     @nn.compact
-    def __call__(self, tokens, pos, gpos, temperature):
+    def __call__(self, carry, attn_weight, pos, gpos, temperature):
+        """carry = (tokens, attn_accum); attn_weight is this layer's share
+        of the layer-mean (1/len(attn_indices) for selected layers, else 0)
+        — accumulating inside the scan keeps ONE (2B, Pp, Pp) map live
+        instead of stacking all `depth` of them (~360 MB at 518^2/fp32)."""
         cfg = self.cfg
         C = cfg.embed_dim
+        tokens, attn_accum = carry
         BS, P, _ = tokens.shape
         tokens, _ = VggtBlock(
             C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
@@ -64,7 +69,8 @@ class AlternatingPair(nn.Module):
         )(gtokens, pos=gpos, return_attn=True, temperature=temperature)
         tokens = gtokens.reshape(BS, P, C)
         global_inter = gtokens.reshape(self.B, self.S, P, C)
-        return tokens, (frame_inter, global_inter, amap)
+        attn_accum = attn_accum + attn_weight * amap.astype(attn_accum.dtype)
+        return (tokens, attn_accum), (frame_inter, global_inter)
 
 
 class Aggregator(nn.Module):
@@ -133,24 +139,29 @@ class Aggregator(nn.Module):
             attn_indices = tuple(range(cfg.depth))
 
         gpos = pos.reshape(B, S * P, 2)
+        # per-layer share of the layer-mean: 1/len(indices) for selected
+        # layers, 0 otherwise — the mean accumulates INSIDE the scan carry
+        # so only one (2B, Pp, Pp) map is ever live
+        weights = jnp.zeros((cfg.depth,), jnp.float32)
+        weights = weights.at[jnp.asarray(attn_indices, jnp.int32)].set(
+            1.0 / len(attn_indices))
+        attn_init = jnp.zeros((2 * B, P_patch, P_patch), jnp.float32)
         Scanned = nn.scan(
             AlternatingPair,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=cfg.depth,
-            in_axes=nn.broadcast,
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
         )
-        _, (frame_inter, global_inter, amaps) = Scanned(
+        (_, attn_mean), (frame_inter, global_inter) = Scanned(
             cfg, B=B, S=S, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
             name="aa_pairs"
-        )(tokens, pos, gpos, temperature)
-        # (L, B, S, P, C) x2; amaps (L, 2B, Pp, Pp)
+        )((tokens, attn_init), weights, pos, gpos, temperature)
+        # (L, B, S, P, C) x2
 
         output_list: List[jnp.ndarray] = [
             jnp.concatenate([frame_inter[i], global_inter[i]], axis=-1)
             for i in range(cfg.depth)
         ]
-        idx = jnp.asarray(attn_indices, jnp.int32)
-        attn_mean = jnp.mean(amaps[idx], axis=0)
         return output_list, attn_mean

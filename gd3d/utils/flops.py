@@ -13,10 +13,8 @@ what the MXU peak is quoted for, so MFU = counted_flops / time / peak.
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import jax
-import numpy as np
 
 
 def _dot_general_flops(eqn) -> float:

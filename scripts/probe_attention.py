@@ -77,8 +77,12 @@ def main():
     rng = np.random.RandomState(0)
     shapes = [
         ("student-4608", 2, 12, 4608, 64),
-        ("student-B4", 4, 12, 4608, 64),  # batch=2 pairs
+        ("student-B4", 4, 12, 4608, 64),    # batch=2 pairs
+        ("student-6656", 2, 12, 6656, 64),  # VGGT 640-target geometry
     ]
+    only = os.environ.get("GD3D_PROBE_SHAPE")
+    if only:
+        shapes = [s for s in shapes if s[0] == only]
     for label, B, H, N, D in shapes:
         q = jnp.asarray(rng.randn(B, H, N, D), jnp.bfloat16)
         k = jnp.asarray(rng.randn(B, H, N, D), jnp.bfloat16)
@@ -87,17 +91,36 @@ def main():
         print(f"== {label}: B={B} H={H} N={N} D={D} bf16, {L}-layer scan, "
               f"fwd+bwd, per-layer times ==", flush=True)
 
-        candidates = [
-            dict(block_q=512, block_k=512, block_q_bwd=512, block_k_bwd=512),
-            dict(block_q=768, block_k=768, block_q_bwd=768, block_k_bwd=768),
-            dict(block_q=512, block_k=768, block_q_bwd=512, block_k_bwd=768),
-            dict(block_q=768, block_k=512, block_q_bwd=768, block_k_bwd=512),
-            dict(block_q=512, block_k=512, block_q_bwd=768, block_k_bwd=768),
-            dict(block_q=768, block_k=768, block_q_bwd=512, block_k_bwd=512),
-            dict(block_q=1152, block_k=1152, block_q_bwd=1152, block_k_bwd=1152),
-            dict(block_q=512, block_k=512, block_q_bwd=256, block_k_bwd=256),
-            dict(block_q=256, block_k=256, block_q_bwd=256, block_k_bwd=256),
-        ]
+        if N == 6656:
+            candidates = [
+                dict(block_q=512, block_k=512, block_q_bwd=512,
+                     block_k_bwd=512),
+                dict(block_q=832, block_k=832, block_q_bwd=832,
+                     block_k_bwd=832),
+                dict(block_q=1664, block_k=1664, block_q_bwd=1664,
+                     block_k_bwd=1664),
+            ]
+        else:
+            candidates = [
+                dict(block_q=512, block_k=512, block_q_bwd=512,
+                     block_k_bwd=512),
+                dict(block_q=768, block_k=768, block_q_bwd=768,
+                     block_k_bwd=768),
+                dict(block_q=512, block_k=768, block_q_bwd=512,
+                     block_k_bwd=768),
+                dict(block_q=768, block_k=512, block_q_bwd=768,
+                     block_k_bwd=512),
+                dict(block_q=512, block_k=512, block_q_bwd=768,
+                     block_k_bwd=768),
+                dict(block_q=768, block_k=768, block_q_bwd=512,
+                     block_k_bwd=512),
+                dict(block_q=1152, block_k=1152, block_q_bwd=1152,
+                     block_k_bwd=1152),
+                dict(block_q=512, block_k=512, block_q_bwd=256,
+                     block_k_bwd=256),
+                dict(block_q=256, block_k=256, block_q_bwd=256,
+                     block_k_bwd=256),
+            ]
         for c in candidates:
             try:
                 fn = jax.jit(jax.grad(

@@ -58,3 +58,29 @@ def test_render_multiview_3d_consistency(tmp_path):
         # vertex cloud is sparse (icosphere-2); mid-face points sit up to
         # ~half an edge length away
         assert np.median(d) < 0.06, np.median(d)
+
+
+def test_render_cli_writes_tree_and_poses(tmp_path):
+    """gd3d-render (render_objects.py equivalent): tree layout + pose file,
+    and the multiprocessing path produces identical pixels to in-process."""
+    from gd3d.cli.render import main
+    import numpy as np
+
+    out_a = tmp_path / "a"
+    main(["--output", str(out_a), "--num-objects", "2", "--views", "3",
+          "--size", "64"])
+    poses = np.load(out_a / "obj_poses.npy")
+    assert poses.shape == (3, 4, 4)
+    for name in ("obj_00000", "obj_00001"):
+        for i in range(3):
+            for kind in ("color", "depth", "mask"):
+                assert (out_a / name / f"{kind}_{i:06d}.png").exists()
+
+    out_b = tmp_path / "b"
+    main(["--output", str(out_b), "--num-objects", "2", "--views", "3",
+          "--size", "64", "--workers", "2"])
+    import cv2
+
+    a = cv2.imread(str(out_a / "obj_00001" / "color_000001.png"))
+    b = cv2.imread(str(out_b / "obj_00001" / "color_000001.png"))
+    np.testing.assert_array_equal(a, b)
