@@ -1,0 +1,155 @@
+"""Global alignment (gd3d/align.py) on synthetic self-consistent scenes.
+
+Construction: each image i gets a GT depth map, focal and cam2world pose;
+pairwise "predictions" are fabricated exactly as dust3r defines them
+(pred_i = img i's points in frame i, pred_j = img j's points in frame i),
+so the GT configuration achieves zero loss and recovery is checkable up to
+the global sim3 gauge.
+"""
+import numpy as np
+import pytest
+
+from gd3d.align import Scene, align_pair, global_align, init_from_tree
+
+H = W = 8
+FOCAL = 10.0
+
+
+def _unproject(depth, focal):
+    ys, xs = np.mgrid[0:H, 0:W]
+    x = (xs - W / 2) / focal * depth
+    y = (ys - H / 2) / focal * depth
+    return np.stack([x, y, depth], -1)
+
+
+def _rotmat(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+
+
+def _make_scene(n=4, seed=0):
+    rng = np.random.RandomState(seed)
+    depths = 2.0 + rng.rand(n, H, W)  # smooth-ish positive depths
+    poses = []
+    for k in range(n):
+        R = _rotmat(rng.randn(3), 0.15 * k)
+        t = np.asarray([0.4 * k, 0.1 * k, 0.05 * k])
+        P = np.eye(4)
+        P[:3, :3] = R
+        P[:3, 3] = t
+        poses.append(P)
+    poses = np.stack(poses)
+
+    pts_cam = np.stack([_unproject(depths[k], FOCAL) for k in range(n)])
+
+    edges, pred_i, pred_j, conf_i, conf_j = [], [], [], [], []
+    for i in range(n):
+        for j in range(n):
+            if i == j or abs(i - j) > 2:
+                continue
+            rel = np.linalg.inv(poses[i]) @ poses[j]  # frame j -> frame i
+            pj_in_i = pts_cam[j].reshape(-1, 3) @ rel[:3, :3].T + rel[:3, 3]
+            edges.append((i, j))
+            pred_i.append(pts_cam[i])
+            pred_j.append(pj_in_i.reshape(H, W, 3))
+            conf_i.append(np.full((H, W), 3.0))
+            conf_j.append(np.full((H, W), 3.0))
+    scene = Scene.from_pairs(edges, pred_i, pred_j, conf_i, conf_j)
+    return scene, poses, depths
+
+
+def _rel_pose_errors(got_poses, gt_poses):
+    """Max rotation error (deg) and translation-direction error (deg) over
+    consecutive relative poses — invariant to the global sim3 gauge."""
+    rot_err, dir_err, scales = [], [], []
+    for k in range(len(gt_poses) - 1):
+        rel_got = np.linalg.inv(np.asarray(got_poses[k])) @ np.asarray(
+            got_poses[k + 1])
+        rel_gt = np.linalg.inv(gt_poses[k]) @ gt_poses[k + 1]
+        Rg = rel_got[:3, :3]
+        Rg = Rg / np.cbrt(max(np.linalg.det(Rg), 1e-12))
+        dR = Rg @ rel_gt[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        rot_err.append(ang)
+        tg, tt = rel_got[:3, 3], rel_gt[:3, 3]
+        cos = tg @ tt / max(np.linalg.norm(tg) * np.linalg.norm(tt), 1e-12)
+        dir_err.append(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+        scales.append(np.linalg.norm(tg) / max(np.linalg.norm(tt), 1e-12))
+    return max(rot_err), max(dir_err), scales
+
+
+def test_tree_init_recovers_relative_poses():
+    scene, gt_poses, _ = _make_scene()
+    init = init_from_tree(scene)
+    rot, direc, scales = _rel_pose_errors(init["poses"], gt_poses)
+    assert rot < 0.5, rot
+    assert direc < 0.5, direc
+    # one consistent global scale
+    assert np.ptp(scales) / np.mean(scales) < 0.02, scales
+    np.testing.assert_allclose(init["focals"], FOCAL, rtol=0.05)
+
+
+def test_global_align_converges_and_keeps_gt():
+    scene, gt_poses, gt_depths = _make_scene()
+    out = global_align(scene, niter=150)
+    losses = np.asarray(out["losses"])
+    # the Procrustes init is already near-exact on noiseless predictions;
+    # the optimizer must STAY at a tiny loss through the lr schedule
+    assert losses[-1] < 0.02, losses[-1]
+    rot, direc, scales = _rel_pose_errors(np.asarray(out["poses"]), gt_poses)
+    assert rot < 2.0, rot
+    assert direc < 2.0, direc
+    np.testing.assert_allclose(np.asarray(out["focals"]), FOCAL, rtol=0.1)
+    # depth recovered up to the single global scale
+    ratio = np.asarray(out["depthmaps"]) / gt_depths
+    assert ratio.std() / ratio.mean() < 0.05
+
+
+def test_global_align_known_poses_stay_fixed():
+    scene, gt_poses, _ = _make_scene()
+    out = global_align(scene, niter=50, known_poses=gt_poses)
+    got = np.asarray(out["poses"])
+    for k in range(len(gt_poses)):
+        np.testing.assert_allclose(got[k], gt_poses[k], atol=2e-3)
+
+
+def test_align_pair_fast_path():
+    scene, gt_poses, _ = _make_scene(n=2)
+    out = align_pair(scene)
+    rot, direc, _ = _rel_pose_errors(out["poses"], gt_poses)
+    assert rot < 0.5 and direc < 0.5
+    np.testing.assert_allclose(out["focals"], FOCAL, rtol=0.05)
+
+
+def test_scene_rejects_mixed_shapes():
+    a = np.zeros((H, W, 3))
+    b = np.zeros((H + 2, W, 3))
+    c = np.zeros((H, W))
+    with pytest.raises(AssertionError):
+        Scene.from_pairs([(0, 1)], [a], [b], [c], [c])
+
+
+def test_global_align_improves_noisy_scene():
+    """With noisy pairwise predictions the Procrustes init is imperfect and
+    the optimizer must reduce the consistency loss below its starting value
+    (the actual optimization path, not just the init)."""
+    scene, gt_poses, _ = _make_scene()
+    rng = np.random.RandomState(7)
+    noisy = Scene(
+        edges=scene.edges,
+        pred_i=scene.pred_i + 0.03 * rng.randn(*scene.pred_i.shape),
+        pred_j=scene.pred_j + 0.03 * rng.randn(*scene.pred_j.shape),
+        conf_i=scene.conf_i, conf_j=scene.conf_j,
+        hw=scene.hw, n_imgs=scene.n_imgs,
+    )
+    out = global_align(noisy, niter=200)
+    losses = np.asarray(out["losses"])
+    # the injected noise sets an irreducible floor (the pairwise clouds are
+    # mutually inconsistent by construction); ~20% is real optimization
+    assert losses[-1] < 0.85 * losses[0], (losses[0], losses[-1])
+    rot, direc, _ = _rel_pose_errors(np.asarray(out["poses"]), gt_poses)
+    assert rot < 5.0, rot
