@@ -487,6 +487,42 @@ def global_align(
     }
 
 
+def scene_from_mast3r(
+    teacher,
+    params: dict,
+    images: jnp.ndarray,
+    pairs: Optional[Sequence[Tuple[int, int]]] = None,
+    temperature: float = 1.0,
+    dtype: Optional[str] = None,
+) -> Scene:
+    """Build a Scene by running the frozen MASt3R teacher over image pairs.
+
+    images (N, H, W, 3) in [-1, 1] (MASt3R format, W >= H). pairs defaults
+    to the complete symmetric graph (make_pairs scene_graph='complete',
+    dust3r/image_pairs.py:11-29). One batched extract_features call covers
+    all ordered pairs: edge (i, j) consumes pts3d_1 (img i in frame i) and
+    pts3d_2_from_1 (img j in frame i) — the dust3r pred_i/pred_j
+    convention the global aligner optimizes over.
+    """
+    n = images.shape[0]
+    if pairs is None:
+        pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+    ii = jnp.asarray([p[0] for p in pairs])
+    jj = jnp.asarray([p[1] for p in pairs])
+    feats = teacher.extract_features(
+        params, images[ii], images[jj], temperature, dtype=dtype)
+    E = len(pairs)
+    hw = tuple(images.shape[1:3])
+    return Scene(
+        edges=np.asarray(pairs, np.int32).reshape(E, 2),
+        pred_i=feats["pts3d_1"].reshape(E, -1, 3),
+        pred_j=feats["pts3d_2_from_1"].reshape(E, -1, 3),
+        conf_i=feats["conf_1"].reshape(E, -1),
+        conf_j=feats["conf_2"].reshape(E, -1),
+        hw=hw, n_imgs=n,
+    )
+
+
 def align_pair(scene: Scene) -> Dict[str, np.ndarray]:
     """2-image fast path — PairViewer (pair_viewer.py:20-110): no
     optimization, poses from the most confident direction's Procrustes."""

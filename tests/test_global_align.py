@@ -153,3 +153,32 @@ def test_global_align_improves_noisy_scene():
     assert losses[-1] < 0.85 * losses[0], (losses[0], losses[-1])
     rot, direc, _ = _rel_pose_errors(np.asarray(out["poses"]), gt_poses)
     assert rot < 5.0, rot
+
+
+@pytest.mark.slow
+def test_scene_from_mast3r_teacher_end_to_end():
+    """The aligner is reachable from the teacher stack: one batched
+    extract_features over the complete pair graph -> Scene -> a few
+    optimizer iterations, all finite."""
+    from gd3d.align import scene_from_mast3r
+    from gd3d.models.croco import CrocoConfig
+    from gd3d.models.mast3r import Mast3rConfig
+    from gd3d.teachers.mast3r import Mast3rTeacher
+    import jax
+    import jax.numpy as jnp
+
+    teacher = Mast3rTeacher(Mast3rConfig(
+        croco=CrocoConfig(
+            patch_size=16, enc_embed_dim=32, enc_depth=2, enc_num_heads=2,
+            dec_embed_dim=16, dec_depth=2, dec_num_heads=2),
+        local_feat_dim=6, dpt_feature_dim=16, dpt_last_dim=8))
+    params = teacher.init_params(jax.random.key(0), hw=(32, 64))
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(3, 32, 64, 3) * 2 - 1, jnp.float32)
+
+    scene = scene_from_mast3r(teacher, params, images)
+    assert scene.n_imgs == 3 and len(scene.edges) == 6
+    out = global_align(scene, niter=10)
+    assert np.all(np.isfinite(np.asarray(out["losses"])))
+    assert np.all(np.isfinite(np.asarray(out["poses"])))
+    assert out["pts3d"].shape == (3, 32, 64, 3)
