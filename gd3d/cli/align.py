@@ -1,0 +1,148 @@
+"""Multi-view reconstruction CLI: MASt3R pairs -> global alignment.
+
+Reference equivalent: the dust3r demo/reconstruction flow (load_images ->
+make_pairs -> inference -> global_aligner(PointCloudOptimizer) ->
+compute_global_alignment, dust3r/demo.py + cloud_opt/) — the user-facing
+path for turning a handful of photos into posed cameras + a fused point
+cloud. Outputs an .npz (poses/focals/depthmaps/pts3d/confidence) and an
+optional colored .ply.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Globally align MASt3R pairwise predictions into a "
+                    "posed multi-view scene")
+    p.add_argument("--images", required=True, nargs="+",
+                   help="image files (or one directory) — all must share "
+                        "one post-resize shape")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--teacher-ckpt", default=None,
+                   help="MASt3R torch state_dict (.pth); random weights "
+                        "with a warning otherwise")
+    p.add_argument("--size", type=int, default=512,
+                   help="MASt3R long-side resize (512 or 224)")
+    p.add_argument("--niter", type=int, default=300)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--schedule", choices=("cosine", "linear"),
+                   default="cosine")
+    p.add_argument("--pairs", choices=("complete", "sliding"),
+                   default="complete",
+                   help="pair graph: complete (make_pairs default) or "
+                        "sliding window of width 3")
+    p.add_argument("--ply", action="store_true",
+                   help="also write a confidence-filtered colored "
+                        "pointcloud.ply")
+    p.add_argument("--min-conf", type=float, default=1.5,
+                   help="confidence threshold for the .ply export")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random teacher (CI smoke)")
+    return p.parse_args(argv)
+
+
+def _collect_images(paths):
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+    if len(paths) == 1 and Path(paths[0]).is_dir():
+        return sorted(
+            p for p in Path(paths[0]).iterdir() if p.suffix.lower() in exts)
+    return [Path(p) for p in paths]
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from gd3d.align import global_align, scene_from_mast3r
+    from gd3d.data.images import load_image_mast3r
+    from gd3d.models.croco import CrocoConfig
+    from gd3d.models.mast3r import Mast3rConfig
+    from gd3d.teachers.mast3r import Mast3rTeacher
+
+    files = _collect_images(args.images)
+    assert len(files) >= 2, "need at least two images"
+    loaded = [load_image_mast3r(str(f), size=args.size) for f in files]
+    shapes = {tuple(x["img"].shape) for x in loaded}
+    assert len(shapes) == 1, (
+        f"all images must share one post-resize shape, got {shapes} — "
+        "align same-aspect-ratio groups separately")
+    images = jnp.asarray(np.stack([x["img"] for x in loaded]), jnp.float32)
+
+    if args.tiny:
+        tcfg = Mast3rConfig(
+            croco=CrocoConfig(
+                patch_size=16, enc_embed_dim=32, enc_depth=2,
+                enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
+                dec_num_heads=2),
+            local_feat_dim=6, dpt_feature_dim=16, dpt_last_dim=8)
+    else:
+        tcfg = Mast3rConfig()
+    teacher = Mast3rTeacher(tcfg)
+    if args.teacher_ckpt:
+        from gd3d.teachers.convert import load_torch_state
+        from gd3d.teachers.mast3r import convert_mast3r
+
+        params = convert_mast3r(load_torch_state(args.teacher_ckpt))
+    else:
+        print("WARNING: no --teacher-ckpt; random MASt3R weights")
+        params = teacher.init_params(
+            jax.random.key(0), hw=tuple(images.shape[1:3]))
+
+    n = images.shape[0]
+    if args.pairs == "sliding":
+        pairs = [(i, j) for i in range(n) for j in range(n)
+                 if i != j and abs(i - j) <= 2]
+    else:
+        pairs = None  # complete graph
+    scene = scene_from_mast3r(teacher, params, images, pairs=pairs)
+    out = global_align(
+        scene, niter=args.niter, lr=args.lr, schedule=args.schedule)
+
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    conf = np.zeros((n,) + scene.hw, np.float32)
+    for e, (i, _) in enumerate(scene.edges):
+        conf[int(i)] = np.maximum(
+            conf[int(i)], np.asarray(scene.conf_i[e]).reshape(scene.hw))
+    np.savez(
+        outdir / "scene.npz",
+        poses=np.asarray(out["poses"]),
+        focals=np.asarray(out["focals"]),
+        principal_points=np.asarray(out["principal_points"]),
+        depthmaps=np.asarray(out["depthmaps"]),
+        pts3d=np.asarray(out["pts3d"]),
+        confidence=conf,
+        images=np.asarray(images),
+        losses=np.asarray(out["losses"]),
+    )
+    print(f"aligned {n} images in {len(scene.edges)} pairs; final loss "
+          f"{float(out['losses'][-1]):.4f} -> {outdir / 'scene.npz'}")
+
+    if args.ply:
+        pts = np.asarray(out["pts3d"]).reshape(-1, 3)
+        cols = ((np.asarray(images).reshape(-1, 3) + 1) * 127.5).clip(
+            0, 255).astype(np.uint8)
+        keep = conf.reshape(-1) > args.min_conf
+        pts, cols = pts[keep], cols[keep]
+        ply = outdir / "pointcloud.ply"
+        with open(ply, "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\n"
+                f"element vertex {len(pts)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n")
+            for p, c in zip(pts, cols):
+                f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f} "
+                        f"{c[0]} {c[1]} {c[2]}\n")
+        print(f"wrote {len(pts)} points -> {ply}")
+
+
+if __name__ == "__main__":
+    main()

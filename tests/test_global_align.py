@@ -182,3 +182,27 @@ def test_scene_from_mast3r_teacher_end_to_end():
     assert np.all(np.isfinite(np.asarray(out["losses"])))
     assert np.all(np.isfinite(np.asarray(out["poses"])))
     assert out["pts3d"].shape == (3, 32, 64, 3)
+
+
+@pytest.mark.slow
+def test_align_cli_smoke(tmp_path):
+    """gd3d-align end to end: render synthetic views, align with a tiny
+    random teacher, check the scene.npz + .ply artifacts."""
+    from gd3d.cli.align import main
+    from gd3d.data.render_synthetic import render_object_tree
+
+    render_object_tree(str(tmp_path), ["obj"], n_views=3, size=96)
+    imgs = sorted((tmp_path / "obj").glob("color_*.png"))
+    out = tmp_path / "scene"
+    main(["--images", *map(str, imgs), "--output", str(out), "--tiny",
+          "--size", "224", "--niter", "5", "--pairs", "sliding", "--ply",
+          "--min-conf", "0.0"])
+    z = np.load(out / "scene.npz")
+    n = len(imgs)
+    assert z["poses"].shape == (n, 4, 4)
+    assert np.all(np.isfinite(z["poses"]))
+    assert np.all(np.isfinite(z["losses"]))
+    assert z["pts3d"].shape[0] == n
+    assert (out / "pointcloud.ply").exists()
+    header = (out / "pointcloud.ply").read_text().splitlines()[:3]
+    assert header[0] == "ply"
