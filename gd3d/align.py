@@ -47,7 +47,8 @@ BASE_SCALE = 0.5  # pairwise scale norm target (base_opt.py:48)
 # --------------------------------------------------------------------------
 
 def signed_log1p(x):
-    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+    """numpy-side inverse of signed_expm1 (init-time pose packing)."""
+    return np.sign(x) * np.log1p(np.abs(x))
 
 
 def signed_expm1(x):
@@ -291,7 +292,7 @@ def _init_pw_poses(scene: Scene, init: Dict[str, np.ndarray],
     for e, (i, j) in enumerate(scene.edges):
         s, R, t = weighted_umeyama(pred_i[e], world[int(i)], conf_i[e])
         pw[e, :4] = mat_to_quat(R)
-        pw[e, 4:7] = np.sign(t / s) * np.log1p(np.abs(t / s))
+        pw[e, 4:7] = signed_log1p(t / s)
         pw[e, 7] = np.log(max(s, 1e-8))
         log_s[e] = pw[e, 7]
 
@@ -330,8 +331,7 @@ def _init_params(scene: Scene, init: Optional[Dict[str, np.ndarray]], rng,
         for k in range(n):
             # params ARE cam2world (get_im_poses semantics)
             im_poses[k, :4] = mat_to_quat(init["poses"][k][:3, :3])
-            im_poses[k, 4:7] = np.sign(init["poses"][k][:3, 3]) * np.log1p(
-                np.abs(init["poses"][k][:3, 3]))
+            im_poses[k, 4:7] = signed_log1p(init["poses"][k][:3, 3])
         focals_log = FOCAL_BREAK * np.log(
             np.clip(init["focals"], 1.0, None)).astype(np.float32)
     return {
