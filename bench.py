@@ -9,8 +9,8 @@ The step matches FinetuneMASt3RTIMM.training_step at ScanNet++ geometry
 symmetric inference with cost-volume export, on-device reciprocal-NN
 keypoint pipeline, fused student forwards (ViT-B at effective stride 8;
 the reference's 6 passes batched into 2) + the three distillation losses +
-adapter-only AdamW update, K=16 optimizer steps per XLA dispatch
-(lax.scan). vs_baseline is the ratio against BASELINE.json's
+adapter-only AdamW update, K=32 optimizer steps per XLA dispatch
+(lax.scan; measured 4.72 pairs/s vs 4.69 at K=16). vs_baseline is the ratio against BASELINE.json's
 2000 pairs/s/chip north star.
 
 Precision policy (env-overridable):
@@ -60,7 +60,7 @@ def bench_mast3r(jax, jnp) -> dict:
             cfg.student, compute_dtype=sd, remat=remat, bf16_stream=stream))
     H, W = 336, 512  # ScanNet++ MASt3R true_shape
     BATCH = int(os.environ.get("GD3D_BENCH_BATCH", "1"))
-    K = int(os.environ.get("GD3D_BENCH_K", "16"))
+    K = int(os.environ.get("GD3D_BENCH_K", "32"))
 
     student = Student(cfg.student)
     params = student.init(jax.random.key(0), img_size=64)
