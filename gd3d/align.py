@@ -126,12 +126,15 @@ class Scene:
     optimizer.py:17-20); conf_* are the matching confidence maps."""
 
     edges: np.ndarray          # (E, 2) int
-    pred_i: jnp.ndarray        # (E, HW, 3)
-    pred_j: jnp.ndarray        # (E, HW, 3)
-    conf_i: jnp.ndarray        # (E, HW)
-    conf_j: jnp.ndarray        # (E, HW)
+    pred_i: jnp.ndarray        # (E, P, 3)
+    pred_j: jnp.ndarray        # (E, P, 3)
+    conf_i: jnp.ndarray        # (E, P)
+    conf_j: jnp.ndarray        # (E, P)
     hw: Tuple[int, int]
     n_imgs: int
+    # per-image (x, y) pixel coordinates of the P sample points; None means
+    # the dense H*W grid (sparse_from_scene sets it for anchor subsets)
+    pix: Optional[np.ndarray] = None   # (N, P, 2)
 
     @staticmethod
     def from_pairs(
@@ -165,14 +168,17 @@ def _pixel_grid(hw: Tuple[int, int]) -> jnp.ndarray:
     return jnp.stack([xs, ys], -1).reshape(-1, 2).astype(jnp.float32)
 
 
-def _estimate_focal(pred: np.ndarray, hw: Tuple[int, int]) -> float:
+def _estimate_focal(pred: np.ndarray, hw: Tuple[int, int],
+                    pix: Optional[np.ndarray] = None) -> float:
     """Median-ratio focal from a camera-frame point map — the robust-median
     core of dust3r's estimate_focal_knowing_depth (Weiszfeld ~ geometric
     median; the median of per-pixel ratios is its 1-step approximation)."""
     H, W = hw
     pts = pred.reshape(-1, 3)
-    grid = np.stack(np.meshgrid(np.arange(W), np.arange(H)), -1).reshape(-1, 2)
-    uv = grid - np.asarray([W / 2, H / 2])
+    if pix is None:
+        pix = np.stack(
+            np.meshgrid(np.arange(W), np.arange(H)), -1).reshape(-1, 2)
+    uv = pix - np.asarray([W / 2, H / 2])
     z = pts[:, 2]
     xy = pts[:, :2]
     num = (uv * xy).sum(-1) * z
@@ -211,8 +217,12 @@ def init_from_tree(scene: Scene) -> Dict[str, np.ndarray]:
     assert all(b >= 0 for b in best_edge), "every image needs an edge as i"
     depth0 = np.stack(
         [pred_i[best_edge[i]][:, 2].clip(1e-3) for i in range(n)])
-    focals0 = np.asarray(
-        [_estimate_focal(pred_i[best_edge[i]], scene.hw) for i in range(n)])
+    pix = None if scene.pix is None else np.asarray(scene.pix)
+    focals0 = np.asarray([
+        _estimate_focal(pred_i[best_edge[i]], scene.hw,
+                        None if pix is None else pix[i])
+        for i in range(n)
+    ])
 
     # relative sim3 per (unordered) pair from the symmetric edge, when
     # available: T maps frame j -> frame i, aligning img j's points seen
@@ -273,13 +283,16 @@ def _init_pw_poses(scene: Scene, init: Dict[str, np.ndarray],
     (:103-107) so the online norm_pw_scale leaves the init consistent."""
     H, W = scene.hw
     n = scene.n_imgs
-    grid = np.stack(np.meshgrid(np.arange(W), np.arange(H)), -1).reshape(-1, 2)
+    dense = np.stack(
+        np.meshgrid(np.arange(W), np.arange(H)), -1).reshape(-1, 2)
+    pix = None if scene.pix is None else np.asarray(scene.pix)
     world = []
     for k in range(n):
         d = init["depth"][k].reshape(-1)
         f = init["focals"][k]
+        g = dense if pix is None else pix[k]
         rel = np.concatenate(
-            [d[:, None] * (grid - np.asarray([W / 2, H / 2])) / f,
+            [d[:, None] * (g - np.asarray([W / 2, H / 2])) / f,
              d[:, None]], -1)
         P = init["poses"][k]
         world.append(rel @ P[:3, :3].T + P[:3, 3])
@@ -319,7 +332,8 @@ def _init_params(scene: Scene, init: Optional[Dict[str, np.ndarray]], rng,
         # also rescales init in-place when norm_pw
         pw_poses = _init_pw_poses(scene, init, norm_pw)
     if init is None:
-        depth_log = jax.random.normal(rng, (n, H * W)) / 10.0 - 3.0
+        P = scene.pred_i.shape[1]
+        depth_log = jax.random.normal(rng, (n, P)) / 10.0 - 3.0
         im_poses = np.tile(
             np.asarray([0, 0, 0, 1, 0, 0, 0], np.float32), (n, 1))
         focals_log = np.full(
@@ -352,16 +366,16 @@ def _scene_loss(params, scene: Scene, grid, pp_base, ei, ej, wi, wj,
 
     focals = jnp.exp(params["focals_log"] / FOCAL_BREAK)  # (N,)
     pp = pp_base + 10.0 * params["im_pp"]                 # (N, 2)
-    depth = jnp.exp(params["depth_log"])                  # (N, HW)
+    depth = jnp.exp(params["depth_log"])                  # (N, P)
 
-    # camera-frame points -> world (optimizer.py:203-208)
+    # camera-frame points -> world (optimizer.py:203-208); grid (N, P, 2)
     rel = jnp.concatenate(
         [
-            depth[..., None] * (grid[None] - pp[:, None]) / focals[:, None, None],
+            depth[..., None] * (grid - pp[:, None]) / focals[:, None, None],
             depth[..., None],
         ],
         axis=-1,
-    )  # (N, HW, 3)
+    )  # (N, P, 3)
     c2w = pose_vec_to_rt(params["im_poses"])              # (N, 4, 4)
     world = jnp.einsum("nab,npb->npa", c2w[:, :3, :3], rel) + c2w[:, None, :3, 3]
 
@@ -392,8 +406,9 @@ def _scene_loss(params, scene: Scene, grid, pp_base, ei, ej, wi, wj,
         # is NaN otherwise
         return jnp.sqrt(jnp.sum((a - b) ** 2, -1) + 1e-12) * w
 
-    li = jnp.sum(d(world[ei], aligned_i, wi)) / (len(ei) * H * W)
-    lj = jnp.sum(d(world[ej], aligned_j, wj)) / (len(ej) * H * W)
+    P = scene.pred_i.shape[1]
+    li = jnp.sum(d(world[ei], aligned_i, wi)) / (len(ei) * P)
+    lj = jnp.sum(d(world[ej], aligned_j, wj)) / (len(ej) * P)
     return li + lj
 
 
@@ -424,8 +439,13 @@ def global_align(
     params = _init_params(scene, init_state, jax.random.key(seed),
                           norm_pw=not frozen_poses)
 
-    grid = _pixel_grid(scene.hw)
     H, W = scene.hw
+    if scene.pix is None:
+        grid = jnp.broadcast_to(
+            _pixel_grid(scene.hw)[None],
+            (scene.n_imgs,) + (H * W, 2))
+    else:
+        grid = jnp.asarray(scene.pix, jnp.float32)
     pp_base = jnp.tile(jnp.asarray([[W / 2, H / 2]], jnp.float32),
                        (scene.n_imgs, 1))
     ei = jnp.asarray(scene.edges[:, 0], jnp.int32)
@@ -466,25 +486,71 @@ def global_align(
 
     focals = jnp.exp(params["focals_log"] / FOCAL_BREAK)
     pp = pp_base + 10.0 * params["im_pp"]
-    depth = jnp.exp(params["depth_log"]).reshape(scene.n_imgs, H, W)
+    depth_flat = jnp.exp(params["depth_log"])  # (N, P)
     c2w = pose_vec_to_rt(params["im_poses"])
     rel = jnp.concatenate(
         [
-            depth.reshape(scene.n_imgs, -1, 1)
-            * (grid[None] - pp[:, None]) / focals[:, None, None],
-            depth.reshape(scene.n_imgs, -1, 1),
+            depth_flat[..., None] * (grid - pp[:, None])
+            / focals[:, None, None],
+            depth_flat[..., None],
         ],
         axis=-1,
     )
     world = jnp.einsum("nab,npb->npa", c2w[:, :3, :3], rel) + c2w[:, None, :3, 3]
+    dense = scene.pix is None
     return {
         "poses": c2w,
         "focals": focals,
         "principal_points": pp,
-        "depthmaps": depth,
-        "pts3d": world.reshape(scene.n_imgs, H, W, 3),
+        # dense scenes reshape to (N, H, W[, 3]); sparse keep (N, P[, 3])
+        "depthmaps": depth_flat.reshape(scene.n_imgs, H, W)
+        if dense else depth_flat,
+        "pts3d": world.reshape(scene.n_imgs, H, W, 3)
+        if dense else world,
         "losses": losses,
     }
+
+
+def sparse_from_scene(scene: Scene, k: int = 1024) -> Scene:
+    """Sparse-anchor view of a dense scene: keep the top-k most confident
+    pixels per image and optimize only those.
+
+    The compact counterpart of MASt3R's sparse global alignment
+    (mast3r/cloud_opt/sparse_ga.py — anchor-point optimization instead of
+    every pixel): per-image confidence is the max over every edge that
+    observes the image (base_opt.py:135-141 semantics), anchors are its
+    top-k pixels, and every per-edge map is gathered at the OWNING image's
+    anchors (pred_i at image i's, pred_j at image j's — pred_j is laid out
+    on image j's pixel grid). Cuts the optimized state and per-iteration
+    cost by HW/k (~170x at 512-res with k=1024) at the price of sparse
+    depth outputs."""
+    assert scene.pix is None, "scene is already sparse"
+    H, W = scene.hw
+    n = scene.n_imgs
+    conf_i = np.asarray(scene.conf_i)
+    conf_j = np.asarray(scene.conf_j)
+    im_conf = np.zeros((n, H * W), np.float32)
+    for e, (i, j) in enumerate(scene.edges):
+        im_conf[int(i)] = np.maximum(im_conf[int(i)], conf_i[e])
+        im_conf[int(j)] = np.maximum(im_conf[int(j)], conf_j[e])
+    k = min(k, H * W)
+    anchors = np.argsort(-im_conf, axis=1)[:, :k]  # (N, k)
+
+    pred_i = np.asarray(scene.pred_i)
+    pred_j = np.asarray(scene.pred_j)
+    ei = scene.edges[:, 0].astype(int)
+    ej = scene.edges[:, 1].astype(int)
+    pix = np.stack([anchors % W, anchors // W], -1).astype(np.float32)
+    return Scene(
+        edges=scene.edges,
+        pred_i=jnp.asarray(
+            np.take_along_axis(pred_i, anchors[ei][..., None], axis=1)),
+        pred_j=jnp.asarray(
+            np.take_along_axis(pred_j, anchors[ej][..., None], axis=1)),
+        conf_i=jnp.asarray(np.take_along_axis(conf_i, anchors[ei], axis=1)),
+        conf_j=jnp.asarray(np.take_along_axis(conf_j, anchors[ej], axis=1)),
+        hw=scene.hw, n_imgs=n, pix=pix,
+    )
 
 
 def scene_from_mast3r(

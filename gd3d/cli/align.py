@@ -36,6 +36,10 @@ def parse_args(argv=None):
                    default="complete",
                    help="pair graph: complete (make_pairs default) or "
                         "sliding window of width 3")
+    p.add_argument("--sparse", type=int, default=0, metavar="K",
+                   help="optimize only the top-K most confident anchor "
+                        "pixels per image (MASt3R sparse-GA analogue; "
+                        "~HW/K x cheaper, sparse depth outputs)")
     p.add_argument("--ply", action="store_true",
                    help="also write a confidence-filtered colored "
                         "pointcloud.ply")
@@ -101,15 +105,20 @@ def main(argv=None) -> None:
     else:
         pairs = None  # complete graph
     scene = scene_from_mast3r(teacher, params, images, pairs=pairs)
+    if args.sparse > 0:
+        from gd3d.align import sparse_from_scene
+
+        scene = sparse_from_scene(scene, k=args.sparse)
     out = global_align(
         scene, niter=args.niter, lr=args.lr, schedule=args.schedule)
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
-    conf = np.zeros((n,) + scene.hw, np.float32)
+    P = scene.pred_i.shape[1]
+    conf = np.zeros((n, P), np.float32)
     for e, (i, _) in enumerate(scene.edges):
         conf[int(i)] = np.maximum(
-            conf[int(i)], np.asarray(scene.conf_i[e]).reshape(scene.hw))
+            conf[int(i)], np.asarray(scene.conf_i[e]).reshape(P))
     np.savez(
         outdir / "scene.npz",
         poses=np.asarray(out["poses"]),
@@ -126,8 +135,13 @@ def main(argv=None) -> None:
 
     if args.ply:
         pts = np.asarray(out["pts3d"]).reshape(-1, 3)
-        cols = ((np.asarray(images).reshape(-1, 3) + 1) * 127.5).clip(
-            0, 255).astype(np.uint8)
+        rgb = ((np.asarray(images) + 1) * 127.5).clip(0, 255).astype(
+            np.uint8).reshape(n, -1, 3)
+        if scene.pix is not None:
+            W_im = images.shape[2]
+            lin = (scene.pix[..., 1] * W_im + scene.pix[..., 0]).astype(int)
+            rgb = np.take_along_axis(rgb, lin[..., None], axis=1)
+        cols = rgb.reshape(-1, 3)
         keep = conf.reshape(-1) > args.min_conf
         pts, cols = pts[keep], cols[keep]
         ply = outdir / "pointcloud.ply"

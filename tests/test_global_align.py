@@ -206,3 +206,50 @@ def test_align_cli_smoke(tmp_path):
     assert (out / "pointcloud.ply").exists()
     header = (out / "pointcloud.ply").read_text().splitlines()[:3]
     assert header[0] == "ply"
+
+    # sparse-anchor variant: same flow, top-K pixels only
+    out_s = tmp_path / "scene_sparse"
+    main(["--images", *map(str, imgs), "--output", str(out_s), "--tiny",
+          "--size", "224", "--niter", "5", "--pairs", "sliding", "--ply",
+          "--min-conf", "0.0", "--sparse", "64"])
+    zs = np.load(out_s / "scene.npz")
+    assert zs["depthmaps"].shape == (n, 64)
+    assert zs["pts3d"].shape == (n, 64, 3)
+    assert (out_s / "pointcloud.ply").exists()
+
+
+def test_sparse_alignment_recovers_poses():
+    """sparse_from_scene keeps top-k anchors per image; alignment on the
+    sparse view recovers the same relative poses as the dense run."""
+    from gd3d.align import sparse_from_scene
+
+    scene, gt_poses, _ = _make_scene()
+    sparse = sparse_from_scene(scene, k=24)
+    assert sparse.pix.shape == (scene.n_imgs, 24, 2)
+    assert sparse.pred_i.shape[1] == 24
+
+    out = global_align(sparse, niter=150)
+    assert np.all(np.isfinite(np.asarray(out["losses"])))
+    rot, direc, _ = _rel_pose_errors(np.asarray(out["poses"]), gt_poses)
+    assert rot < 2.0, rot
+    assert direc < 2.0, direc
+    np.testing.assert_allclose(np.asarray(out["focals"]), FOCAL, rtol=0.1)
+    # sparse outputs keep the anchor axis
+    assert out["depthmaps"].shape == (scene.n_imgs, 24)
+    assert out["pts3d"].shape == (scene.n_imgs, 24, 3)
+
+
+def test_sparse_anchor_gather_consistency():
+    """Anchors index the owning image's maps: gathered pred_i at image i's
+    anchors equals the dense map at those pixels."""
+    from gd3d.align import sparse_from_scene
+
+    scene, _, _ = _make_scene()
+    sparse = sparse_from_scene(scene, k=16)
+    e = 0
+    i = int(scene.edges[e, 0])
+    pix = sparse.pix[i]
+    lin = (pix[:, 1] * W + pix[:, 0]).astype(int)
+    np.testing.assert_allclose(
+        np.asarray(sparse.pred_i[e]),
+        np.asarray(scene.pred_i[e])[lin], rtol=1e-6)
