@@ -534,7 +534,30 @@ def sparse_from_scene(scene: Scene, k: int = 1024) -> Scene:
         im_conf[int(i)] = np.maximum(im_conf[int(i)], conf_i[e])
         im_conf[int(j)] = np.maximum(im_conf[int(j)], conf_j[e])
     k = min(k, H * W)
-    anchors = np.argsort(-im_conf, axis=1)[:, :k]  # (N, k)
+
+    # spatially-spread selection: top-confidence pixel per cell of a
+    # ~sqrt(k)-wide grid (global top-k clusters on textured regions and
+    # ill-conditions the pose fit — the grid spread mirrors sparse_ga's
+    # subsample-grid anchors), then trim to k by confidence.
+    G = int(math.ceil(math.sqrt(k)))
+    ys, xs = np.divmod(np.arange(H * W), W)
+    cell = (ys * G // H) * G + (xs * G // W)  # (HW,) in [0, G*G)
+    anchors = np.zeros((n, k), np.int64)
+    for im in range(n):
+        order = np.argsort(-im_conf[im])  # best first
+        first = np.full(G * G, -1, np.int64)
+        seen = np.zeros(G * G, bool)
+        for p in order:
+            c = cell[p]
+            if not seen[c]:
+                seen[c] = True
+                first[c] = p
+        cand = first[first >= 0]
+        cand = cand[np.argsort(-im_conf[im][cand])][:k]
+        if len(cand) < k:  # fewer non-empty cells than k: fill by top conf
+            extra = [p for p in order if p not in set(cand)]
+            cand = np.concatenate([cand, np.asarray(extra[: k - len(cand)])])
+        anchors[im] = cand
 
     pred_i = np.asarray(scene.pred_i)
     pred_j = np.asarray(scene.pred_j)
