@@ -616,6 +616,9 @@ def align_pair(scene: Scene) -> Dict[str, np.ndarray]:
     """2-image fast path — PairViewer (pair_viewer.py:20-110): no
     optimization, poses from the most confident direction's Procrustes."""
     assert scene.n_imgs == 2
+    assert scene.pix is None, (
+        "align_pair returns dense (H, W) depthmaps — use global_align for "
+        "sparse scenes")
     init = init_from_tree(scene)
     H, W = scene.hw
     return {
