@@ -253,3 +253,12 @@ def test_sparse_anchor_gather_consistency():
     np.testing.assert_allclose(
         np.asarray(sparse.pred_i[e]),
         np.asarray(scene.pred_i[e])[lin], rtol=1e-6)
+
+
+def test_global_align_random_init_runs():
+    """init=None skips the Procrustes tree init (random params) — the
+    optimizer must still run finite from scratch."""
+    scene, _, _ = _make_scene(n=3)
+    out = global_align(scene, niter=20, init=None)
+    assert np.all(np.isfinite(np.asarray(out["losses"])))
+    assert np.all(np.isfinite(np.asarray(out["poses"])))
