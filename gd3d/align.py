@@ -387,7 +387,8 @@ def _scene_loss(params, scene: Scene, grid, pp_base, ei, ej, wi, wj,
     pw_scale = jnp.exp(log_scale)
     adapt = jnp.concatenate(
         [params["pw_adaptors"][:, 0:1], params["pw_adaptors"]], axis=-1)
-    adapt = adapt - jnp.mean(adapt, axis=1, keepdims=True)
+    if norm_pw:  # get_adaptors mean-centers only when norm_pw_scale is on
+        adapt = adapt - jnp.mean(adapt, axis=1, keepdims=True)
     adapt = jnp.exp(adapt / PW_BREAK)                     # (E, 3)
 
     def edge_align(pred):
@@ -421,23 +422,95 @@ def global_align(
     dist: str = "l1",
     init: Optional[str] = "tree",
     known_poses: Optional[np.ndarray] = None,
+    pose_mask: Optional[np.ndarray] = None,
+    known_focals: Optional[np.ndarray] = None,
+    focal_mask: Optional[np.ndarray] = None,
+    known_pp: Optional[np.ndarray] = None,
+    pp_mask: Optional[np.ndarray] = None,
+    known_depths: Optional[np.ndarray] = None,
+    depth_mask: Optional[np.ndarray] = None,
+    optimize_pp: bool = False,
+    allow_pw_adaptors: bool = False,
     seed: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Run the full alignment; returns poses/focals/depthmaps/pts3d/loss.
 
     The whole Adam loop (betas (0.9, 0.9), base_opt.py:337) is one jitted
     lax.scan; cosine or linear lr schedule per commons.py:77-88.
+
+    Principal points and pairwise adaptors are FROZEN by default, matching
+    the reference defaults (optimizer.py optimize_pp=False sets
+    im_pp.requires_grad False; base_opt.py allow_pw_adaptors=False) —
+    pass optimize_pp / allow_pw_adaptors to train them.
+
+    Partial presets (ModularPointCloudOptimizer semantics,
+    dust3r/cloud_opt/modular_optimizer.py:38-68): each known_* array can
+    come with a boolean *_mask (N,) selecting which images it pins —
+    preset values overwrite the init and their params are frozen (per-row
+    stop_gradient); unmasked images keep optimizing. Without a mask, a
+    known_* pins ALL images (PointCloudOptimizer.preset_* behavior,
+    optimizer.py:68-102). known_poses are cam2world (N, 4, 4); known_focals
+    (N,); known_pp (N, 2) pixels; known_depths (N, H, W) (or (N, P) on
+    sparse scenes). Pairwise-scale normalization turns off once more than
+    one pose is pinned (modular_optimizer.py:47-48).
     """
+    n = scene.n_imgs
+
+    def as_mask(mask, known):
+        if known is None:
+            return np.zeros(n, bool)
+        if mask is None:
+            return np.ones(n, bool)
+        m = np.asarray(mask)
+        if m.dtype != bool:  # index list
+            out = np.zeros(n, bool)
+            out[m] = True
+            return out
+        return m
+
+    pose_mask = as_mask(pose_mask, known_poses)
+    focal_mask = as_mask(focal_mask, known_focals)
+    pp_mask = as_mask(pp_mask, known_pp)
+    depth_mask = as_mask(depth_mask, known_depths)
+
+    any_preset = any(
+        k is not None
+        for k in (known_poses, known_focals, known_pp, known_depths))
     init_state = None
-    if init == "tree":
+    if init == "tree" or any_preset:
         init_state = init_from_tree(scene)
     if known_poses is not None:
-        if init_state is None:
-            init_state = init_from_tree(scene)
-        init_state["poses"] = np.asarray(known_poses, np.float64)
-    frozen_poses = known_poses is not None
+        init_state["poses"] = np.where(
+            pose_mask[:, None, None],
+            np.asarray(known_poses, np.float64),
+            init_state["poses"])
+    if known_focals is not None:
+        init_state["focals"] = np.where(
+            focal_mask, np.asarray(known_focals, np.float64),
+            init_state["focals"])
+    if known_depths is not None:
+        kd = np.asarray(known_depths, np.float64).reshape(n, -1)
+        if scene.pix is not None and kd.shape[1] != scene.pred_i.shape[1]:
+            # dense (N, H, W) depths on a sparse-anchor scene: gather
+            W_im = scene.hw[1]
+            lin = (scene.pix[..., 1] * W_im + scene.pix[..., 0]).astype(int)
+            kd = np.take_along_axis(kd, lin, axis=1)
+        init_state["depth"] = np.where(
+            depth_mask[:, None], kd, init_state["depth"].reshape(n, -1))
+    # pw-scale normalization turns off once the scene scale is externally
+    # constrained — any pinned pose or depth map. (The reference keeps norm
+    # on with exactly ONE pinned pose, modular_optimizer.py:47-48, but its
+    # init then rescales the world and the single pinned translation drifts
+    # relative to it; here pinned values stay exact instead.)
+    norm_pw = not (pose_mask.any() or depth_mask.any())
     params = _init_params(scene, init_state, jax.random.key(seed),
-                          norm_pw=not frozen_poses)
+                          norm_pw=norm_pw)
+    if known_pp is not None:
+        pp0 = np.asarray(known_pp, np.float32) - np.asarray(
+            [[scene.hw[1] / 2, scene.hw[0] / 2]], np.float32)
+        params["im_pp"] = jnp.asarray(
+            np.where(pp_mask[:, None], pp0 / 10.0,
+                     np.asarray(params["im_pp"])), jnp.float32)
 
     H, W = scene.hw
     if scene.pix is None:
@@ -462,11 +535,29 @@ def global_align(
         raise ValueError(f"bad schedule {schedule!r}")
     tx = optax.adam(learning_rate=sched, b1=0.9, b2=0.9)
 
+    def freeze_rows(x, mask):
+        """Per-image stop_gradient — the requires_grad_(False) analogue for
+        rows of a stacked param (modular_optimizer.py:70-71)."""
+        if not mask.any():
+            return x
+        m = jnp.asarray(mask).reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, jax.lax.stop_gradient(x), x)
+
     def loss_fn(p):
-        if frozen_poses:
-            p = dict(p, im_poses=jax.lax.stop_gradient(p["im_poses"]))
+        p = dict(
+            p,
+            im_poses=freeze_rows(p["im_poses"], pose_mask),
+            focals_log=freeze_rows(p["focals_log"], focal_mask),
+            depth_log=freeze_rows(p["depth_log"], depth_mask),
+        )
+        if not optimize_pp:
+            p = dict(p, im_pp=jax.lax.stop_gradient(p["im_pp"]))
+        else:
+            p = dict(p, im_pp=freeze_rows(p["im_pp"], pp_mask))
+        if not allow_pw_adaptors:
+            p = dict(p, pw_adaptors=jax.lax.stop_gradient(p["pw_adaptors"]))
         return _scene_loss(p, scene, grid, pp_base, ei, ej, wi, wj, dist,
-                           norm_pw=not frozen_poses)
+                           norm_pw=norm_pw)
 
     @jax.jit
     def run(params):

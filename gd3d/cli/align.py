@@ -36,10 +36,13 @@ def parse_args(argv=None):
                    default="complete",
                    help="pair graph: complete (make_pairs default) or "
                         "sliding window of width 3")
-    p.add_argument("--sparse", type=int, default=0, metavar="K",
+    p.add_argument("--sparse", type=int, default=-1, metavar="K",
                    help="optimize only the top-K most confident anchor "
                         "pixels per image (MASt3R sparse-GA analogue; "
-                        "~HW/K x cheaper, sparse depth outputs)")
+                        "~HW/K x cheaper, sparse depth outputs). Default "
+                        "-1 = auto: sparse 1024 when the scene exceeds "
+                        "200k dense points (dense cold-compiles in "
+                        "minutes on a small host); 0 forces dense")
     p.add_argument("--ply", action="store_true",
                    help="also write a confidence-filtered colored "
                         "pointcloud.ply")
@@ -105,10 +108,17 @@ def main(argv=None) -> None:
     else:
         pairs = None  # complete graph
     scene = scene_from_mast3r(teacher, params, images, pairs=pairs)
-    if args.sparse > 0:
+    sparse_k = args.sparse
+    if sparse_k < 0:  # auto: dense only for small scenes
+        H_im, W_im = scene.hw
+        sparse_k = 1024 if n * H_im * W_im > 200_000 else 0
+        if sparse_k:
+            print(f"auto-selected sparse anchors (k={sparse_k}); "
+                  "pass --sparse 0 to force dense")
+    if sparse_k > 0:
         from gd3d.align import sparse_from_scene
 
-        scene = sparse_from_scene(scene, k=args.sparse)
+        scene = sparse_from_scene(scene, k=sparse_k)
     out = global_align(
         scene, niter=args.niter, lr=args.lr, schedule=args.schedule)
 

@@ -74,7 +74,12 @@ def main(argv=None) -> None:
             for i in range(0, len(names), step)
         ]
         with multiprocessing.Pool(len(chunks)) as pool:
-            poses = pool.map(_render_chunk, chunks)[0]
+            all_poses = pool.map(_render_chunk, chunks)
+        # every chunk renders the same fixed_poses array; assert that
+        # before keeping only the first (silent data loss otherwise)
+        assert all_poses and all(
+            np.array_equal(p, all_poses[0]) for p in all_poses[1:])
+        poses = all_poses[0]
     else:
         poses = _render_chunk(
             (str(out), names, args.views, args.size, args.seed))

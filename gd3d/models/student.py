@@ -96,7 +96,9 @@ class Student:
     def init(self, rng: jax.Array, img_size: int = 64) -> dict:
         r1, r2, r3 = jax.random.split(rng, 3)
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-        vit_params = self.vit.init(r1, dummy)["params"]
+        # jit: eager flax init dispatches thousands of tiny ops — costly
+        # through the remote-device tunnel (~40 ms per dispatch)
+        vit_params = jax.jit(self.vit.init)(r1, dummy)["params"]
         ph = img_size // self.cfg.patch_size
         rc_params = self.refine_conv.init(
             r2, jnp.zeros((1, ph, ph, self.cfg.embed_dim))
@@ -380,8 +382,11 @@ class Student:
         same lesson as the RoPE2D kernel, PERF_NOTES 'kernels must beat
         XLA's fusion'). The kernel removes the ~0.5 GB transient
         intermediates, so it may win where HBM is the binding constraint.
-        Identical numerics either way (parity-tested in
-        tests/test_pairwise_rank_kernel.py, on-chip to fp32 round-off).
+        Numerics match to fp32 round-off for fp32-compute configs
+        (parity-tested in tests/test_pairwise_rank_kernel.py, on-chip);
+        with compute_dtype=bfloat16 the jnp path runs the fusion Dense
+        layers in bf16 while the fused kernel computes the whole chain in
+        fp32, so the two paths differ by bf16 rounding there.
         """
         import os
 

@@ -262,3 +262,96 @@ def test_global_align_random_init_runs():
     out = global_align(scene, niter=20, init=None)
     assert np.all(np.isfinite(np.asarray(out["losses"])))
     assert np.all(np.isfinite(np.asarray(out["poses"])))
+
+
+def _noisy_scene(seed=7, scale=0.03):
+    scene, gt_poses, _ = _make_scene()
+    rng = np.random.RandomState(seed)
+    return Scene(
+        edges=scene.edges,
+        pred_i=scene.pred_i + scale * rng.randn(*scene.pred_i.shape),
+        pred_j=scene.pred_j + scale * rng.randn(*scene.pred_j.shape),
+        conf_i=scene.conf_i, conf_j=scene.conf_j,
+        hw=scene.hw, n_imgs=scene.n_imgs,
+    ), gt_poses
+
+
+def test_principal_points_frozen_by_default():
+    """Reference parity: optimizer.py optimize_pp=False freezes im_pp —
+    even on a noisy scene (nonzero pp gradients) the returned principal
+    points must stay at the image centers."""
+    noisy, _ = _noisy_scene()
+    out = global_align(noisy, niter=50)
+    pp = np.asarray(out["principal_points"])
+    np.testing.assert_allclose(pp, np.tile([[W / 2, H / 2]], (4, 1)))
+
+
+def test_principal_points_move_when_enabled():
+    noisy, _ = _noisy_scene()
+    out = global_align(noisy, niter=50, optimize_pp=True)
+    pp = np.asarray(out["principal_points"])
+    assert np.abs(pp - np.asarray([W / 2, H / 2])).max() > 1e-4
+
+
+def test_pw_adaptors_flag_changes_trajectory():
+    """allow_pw_adaptors=False (reference default base_opt.py
+    allow_pw_adaptors=False) must stop the adaptors from influencing the
+    optimization; enabling them on a noisy scene changes the result."""
+    noisy, _ = _noisy_scene()
+    out0 = global_align(noisy, niter=60)
+    out1 = global_align(noisy, niter=60, allow_pw_adaptors=True)
+    # both converge...
+    assert np.asarray(out0["losses"])[-1] < np.asarray(out0["losses"])[0]
+    assert np.asarray(out1["losses"])[-1] < np.asarray(out1["losses"])[0]
+    # ...but along different trajectories once adaptors are live
+    assert not np.allclose(
+        np.asarray(out0["losses"]), np.asarray(out1["losses"]))
+
+
+def test_partial_pose_preset_keeps_pinned_frees_rest():
+    """ModularPointCloudOptimizer.preset_pose with a mask
+    (modular_optimizer.py:38-48): pinned images stay exactly at their
+    preset; unpinned images still optimize and land near GT."""
+    noisy, gt_poses = _noisy_scene()
+    mask = np.asarray([True, True, False, False])
+    out = global_align(noisy, niter=150, known_poses=gt_poses,
+                       pose_mask=mask)
+    got = np.asarray(out["poses"])
+    for k in range(2):
+        np.testing.assert_allclose(got[k], gt_poses[k], atol=2e-3)
+    # free images moved off their (tree-init) start and converged: relative
+    # pose error to GT stays small in the GT-anchored gauge
+    rot, direc, _ = _rel_pose_errors(got, gt_poses)
+    assert rot < 6.0, rot
+
+
+def test_preset_focal_partial_mask():
+    scene, _, _ = _make_scene()
+    out = global_align(scene, niter=80, known_focals=np.asarray([12.0]),
+                       focal_mask=np.asarray([0]))
+    focals = np.asarray(out["focals"])
+    np.testing.assert_allclose(focals[0], 12.0, rtol=1e-6)  # pinned exact
+    np.testing.assert_allclose(focals[1:], FOCAL, rtol=0.1)  # free ~ GT
+
+
+def test_preset_principal_point_partial_mask():
+    noisy, _ = _noisy_scene()
+    pp0 = np.asarray([[W / 2 + 1.0, H / 2 - 1.0]])
+    out = global_align(noisy, niter=50, known_pp=pp0,
+                       pp_mask=np.asarray([0]), optimize_pp=True)
+    pp = np.asarray(out["principal_points"])
+    np.testing.assert_allclose(pp[0], pp0[0], rtol=1e-6)  # pinned exact
+    # unpinned pps are live (optimize_pp=True) and move off center
+    assert np.abs(pp[1:] - np.asarray([W / 2, H / 2])).max() > 1e-4
+
+
+def test_preset_known_depths_stay_exact():
+    scene, gt_poses, gt_depths = _make_scene()
+    mask = np.asarray([True, False, False, False])
+    out = global_align(scene, niter=80, known_poses=gt_poses,
+                       known_depths=gt_depths, depth_mask=mask)
+    got = np.asarray(out["depthmaps"])
+    np.testing.assert_allclose(got[0], gt_depths[0], rtol=1e-6)
+    # free depths stay near GT too (pinned pose+depth anchors the scale)
+    ratio = got[1:] / gt_depths[1:]
+    assert abs(ratio.mean() - 1) < 0.05 and ratio.std() < 0.05
