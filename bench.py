@@ -1,8 +1,11 @@
 """Benchmark: flagship MASt3R-distillation step throughput on the real chip.
 
-Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
-Diagnostics (MFU, FLOP estimate, optional VGGT step metric) go to stderr so
-driver parsers that read the last stdout line keep working.
+Prints one JSON line per metric on stdout; the flagship MASt3R metric is
+printed FIRST (so a driver timeout can never lose it), the VGGT 1B-teacher
+step metric second (default-on — regression-guarded round over round), and
+the MASt3R line is then RE-printed so it is also the LAST stdout line
+(the contract driver parsers rely on). Diagnostics (MFU, FLOP estimates)
+go to stderr.
 
 The step matches FinetuneMASt3RTIMM.training_step at ScanNet++ geometry
 (512x336 teacher frames, 512^2 student frames): frozen MASt3R ViT-L
@@ -18,8 +21,7 @@ Precision policy (env-overridable):
                             student under AMP (finetune_timm_mast3r.py:758);
                             fp32 master params + losses either way.
   GD3D_BENCH_TEACHER_DTYPE  default float32 — the reference runs MASt3R fp32.
-  GD3D_BENCH_VGGT=1         also bench the VGGT distillation step (second
-                            JSON line on stderr).
+  GD3D_BENCH_VGGT=0         skip the VGGT distillation step (on by default).
 """
 from __future__ import annotations
 
@@ -35,8 +37,12 @@ NORTH_STAR_PAIRS_PER_SEC = 2000.0
 V5E_BF16_PEAK_FLOPS = 197e12  # one v5e chip
 
 
+_T0 = time.perf_counter()
+
+
 def _log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def bench_mast3r(jax, jnp) -> dict:
@@ -65,8 +71,18 @@ def bench_mast3r(jax, jnp) -> dict:
     student = Student(cfg.student)
     params = student.init(jax.random.key(0), img_size=64)
     trainable, frozen = split_params(params)
+    _log("mast3r: student init done")
     teacher = Mast3rTeacher(Mast3rConfig())
+    # init at a small hw for speed: valid ONLY because nothing in
+    # Mast3rConfig's param shapes is resolution-dependent (RoPE is computed,
+    # not learned; DPT convs are size-agnostic). Guarded below.
     tparams = teacher.init_params(jax.random.key(1), hw=(64, 64))
+    shapes_other = jax.eval_shape(
+        lambda k: teacher.init_params(k, hw=(64, 96)), jax.random.key(1))
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: a.shape == b.shape, tparams, shapes_other)), (
+        "teacher param shapes became resolution-dependent; init at the "
+        "bench (H, W) instead of (64, 64)")
     tx = make_optimizer(cfg.train)
     state = init_state(tx, trainable)
     # K optimizer steps per dispatch (lax.scan) amortize host dispatch —
@@ -105,20 +121,24 @@ def bench_mast3r(jax, jnp) -> dict:
     # counts scan bodies once, undercounting scan-over-layers models ~20x)
     from gd3d.utils.flops import count_fn_flops
 
+    _log("mast3r: teacher init done")
     try:
         flops = count_fn_flops(
             step_fn, state, frozen, tparams, batches, 1.0, while_trips=3)
     except Exception:
         flops = float("nan")
+    _log("mast3r: FLOP count done")
     import contextlib
 
     with (mesh_ctx or contextlib.nullcontext()):
         compiled = jax.jit(step_fn).lower(
             state, frozen, tparams, batches, 1.0).compile()
+        _log("mast3r: compile done")
 
         state, metrics = compiled(state, frozen, tparams, batches, 1.0)
         # hard sync (tunnel ignores block_until_ready)
         float(metrics["loss"][-1])
+        _log("mast3r: warmup dispatch done")
 
         t0 = time.perf_counter()
         state, metrics = compiled(state, frozen, tparams, batches, 1.0)
@@ -169,6 +189,7 @@ def bench_vggt(jax, jnp) -> dict:
     # feature-map extent to trace (28x28 underflows the 7-level pyramid)
     tparams = teacher.init_params(
         jax.random.key(1), hw=(teacher.cfg.img_size,) * 2)
+    _log("vggt: teacher init done")
     tx = make_optimizer(cfg.train)
     state = init_state(tx, trainable)
     # K steps per dispatch (lax.scan) — same tunnel-overhead amortization as
@@ -186,6 +207,7 @@ def bench_vggt(jax, jnp) -> dict:
     key = jax.random.key(0)
     state, metrics = step(state, frozen, tparams, batch, 1.0, key)
     float(metrics["loss"][-1])
+    _log("vggt: compile + warmup dispatch done")
     t0 = time.perf_counter()
     state, metrics = step(state, frozen, tparams, batch, 1.0, key)
     float(metrics["loss"][-1])
@@ -207,9 +229,16 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
-    if os.environ.get("GD3D_BENCH_VGGT"):
-        _log(json.dumps(bench_vggt(jax, jnp)))
-    print(json.dumps(bench_mast3r(jax, jnp)))
+    flagship = json.dumps(bench_mast3r(jax, jnp))
+    print(flagship, flush=True)
+    if os.environ.get("GD3D_BENCH_VGGT", "1") != "0":
+        # guarded: a VGGT failure must not cost the flagship metric
+        try:
+            print(json.dumps(bench_vggt(jax, jnp)), flush=True)
+        except Exception as e:  # pragma: no cover
+            _log(f"VGGT bench failed: {e!r}")
+        # keep the last-line contract: the flagship metric is final
+        print(flagship, flush=True)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,9 @@ class Mast3rTeacher:
 
     def init_params(self, rng: jax.Array, hw=(64, 64)) -> dict:
         dummy = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
-        return self.model.init(rng, dummy, dummy)["params"]
+        # jit: eager flax init dispatches thousands of tiny ops — through
+        # the device tunnel (~40 ms each) that is minutes for ViT-L
+        return jax.jit(self.model.init)(rng, dummy, dummy)["params"]
 
     def extract_features(
         self,

@@ -29,20 +29,29 @@ from gd3d.teachers.convert import _conv, _layernorm, _linear
 
 class VggtTeacher:
     def __init__(self, cfg: VggtConfig = VggtConfig(), sp_mesh=None,
-                 sp_axis: str = "data"):
+                 sp_axis: str = "data", sp_batch_axis=None):
         """sp_mesh: a jax.sharding.Mesh enables ring-attention sequence
         parallelism on the aggregator's S*P global-attention axis over
         `sp_axis` (MeshConfig.sequence_parallel; gd3d/parallel/sequence.py).
+        sp_batch_axis: keep the batch dim sharded over this (orthogonal)
+        mesh axis — the DP x SP training regime; without it a data-sharded
+        batch would collide with a data-axis ring and trigger the
+        partitioner's replicate-and-repartition fallback.
         """
         self.cfg = cfg
-        self.model = Vggt(cfg, sp_mesh=sp_mesh, sp_axis=sp_axis)
+        self.model = Vggt(cfg, sp_mesh=sp_mesh, sp_axis=sp_axis,
+                          sp_batch_axis=sp_batch_axis)
 
     def init_params(self, rng: jax.Array, hw=(28, 28)) -> dict:
         imgs = jnp.zeros((1, 2, hw[0], hw[1], 3), jnp.float32)
         qp = jnp.zeros((1, 4, 2), jnp.float32)
-        return self.model.init(
-            rng, imgs, query_points=qp, run_track=True
-        )["params"]
+        # jit: eager flax init of the 1B trunk dispatches thousands of tiny
+        # ops — through the device tunnel (~40 ms each) that is >10 min;
+        # jitted it is one compile + one dispatch
+        return jax.jit(
+            lambda r, im, q: self.model.init(
+                r, im, query_points=q, run_track=True)
+        )(rng, imgs, qp)["params"]
 
     def extract_features(
         self,
@@ -183,6 +192,37 @@ class VggtTeacher:
 
         valid = valid & in_border(kp_1) & in_border(kp_2)
         return kp_1, kp_2, valid, mask_1, mask_2
+
+
+def bias_params_for_live_keypoints(params: dict, cfg: VggtConfig) -> dict:
+    """Copy of `params` with two tiny heads pinned to canonical outputs so a
+    RANDOM-weight teacher still drives keypoints through the conf/co-view/
+    track filters (multichip dryrun + mesh-equality tests).
+
+    Random weights send reprojections out of frame and tracks out of the
+    border, so every keypoint-dependent loss only ever exercises its
+    zero-kp guard path (the reference treats 0 kps as a guard, not the
+    norm — finetune_timm_vggt.py:585-597). Pinning the camera head to an
+    identity pose (~57 deg FoV) makes each view's own unprojected depth
+    reproject exactly in-bounds (co-view masks pass), and pinning the
+    tracker's flow head to zero deltas keeps kp_2 = kp_1 inside the border
+    filter. Every other weight — and every op of the real step — is
+    untouched.
+    """
+    params = jax.tree_util.tree_map(lambda x: x, params)  # fresh containers
+    pose = np.zeros(9, np.float32)
+    pose[6] = 1.0  # identity quat, scalar-last (x, y, z, w)
+    pose[7:] = 1.0  # fov_h = fov_w = 1 rad
+    fc2 = params["camera_head"]["pose_branch"]["fc2"]
+    # the head ACCUMULATES one delta per iteration; with a zero kernel each
+    # delta is exactly the bias
+    fc2["kernel"] = jnp.zeros_like(fc2["kernel"])
+    fc2["bias"] = jnp.asarray(pose / cfg.camera_iterations).astype(
+        fc2["bias"].dtype)
+    fh = params["track_head"]["tracker"]["updateformer"]["flow_head"]
+    fh["kernel"] = jnp.zeros_like(fh["kernel"])
+    fh["bias"] = jnp.zeros_like(fh["bias"])
+    return params
 
 
 # ---------------------------------------------------------------------------
