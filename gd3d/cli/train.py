@@ -204,8 +204,15 @@ def main(argv=None):
                 dpt_hooks=(0, 0, 1, 1), track_features=8, track_iters=2,
                 track_stride=2, corr_levels=2, corr_radius=1,
                 track_hidden_size=16)
+        # DP x SP regime: batches stay sharded over `data`, the ring rides
+        # the orthogonal `model` axis (same-axis SP+DP would force the
+        # partitioner into replicate-and-repartition at the frame<->global
+        # reshapes)
+        from gd3d.core.mesh import DATA_AXIS, MODEL_AXIS
+
         teacher = VggtTeacher(
-            tcfg, sp_mesh=mesh if cfg.mesh.sequence_parallel else None)
+            tcfg, sp_mesh=mesh if cfg.mesh.sequence_parallel else None,
+            sp_axis=MODEL_AXIS, sp_batch_axis=DATA_AXIS)
         if args.teacher_ckpt:
             teacher_params = convert_vggt(load_torch_state(args.teacher_ckpt))
         else:

@@ -40,6 +40,26 @@ class AlternatingPair(nn.Module):
     S: int = 2
     sp_mesh: Optional[object] = None
     sp_axis: str = "data"
+    sp_batch_axis: Optional[str] = None
+
+    def _constrain(self, x, *spec):
+        """Pin the batch-dim sharding at the frame<->global layout reshapes.
+
+        Without these the partitioner back-propagates the ring-attention
+        sequence sharding through the reshapes and, when it conflicts with
+        the batch sharding, falls back to 'involuntary full
+        rematerialization' (replicate + repartition) — a throughput cliff
+        on real multi-chip meshes. Pinning both sides to batch-dim-sharded
+        keeps the reshapes local; the only resharding left is the explicit
+        slice/all-gather at the shard_map boundary over the (orthogonal)
+        sp_axis. Reference axis: vggt/models/aggregator.py:249-323."""
+        if self.sp_mesh is None:
+            return x
+        from jax.lax import with_sharding_constraint
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return with_sharding_constraint(
+            x, NamedSharding(self.sp_mesh, PartitionSpec(*spec)))
 
     @nn.compact
     def __call__(self, carry, attn_weight, pos, gpos, temperature):
@@ -49,6 +69,7 @@ class AlternatingPair(nn.Module):
         instead of stacking all `depth` of them (~360 MB at 518^2/fp32)."""
         cfg = self.cfg
         C = cfg.embed_dim
+        ba = self.sp_batch_axis
         tokens, attn_accum = carry
         BS, P, _ = tokens.shape
         tokens, _ = VggtBlock(
@@ -60,14 +81,17 @@ class AlternatingPair(nn.Module):
 
         # the S*P global-attention axis is the long-sequence dimension:
         # with sp_mesh set it runs ring attention sharded over sp_axis
-        gtokens = tokens.reshape(self.B, self.S * P, C)
+        tokens = self._constrain(tokens, ba, None, None)
+        gtokens = self._constrain(
+            tokens.reshape(self.B, self.S * P, C), ba, None, None)
         gtokens, amap = VggtBlock(
             C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
             qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
             eps=cfg.layernorm_eps, sp_mesh=self.sp_mesh,
-            sp_axis=self.sp_axis, name="global",
+            sp_axis=self.sp_axis, sp_batch_axis=ba, name="global",
         )(gtokens, pos=gpos, return_attn=True, temperature=temperature)
-        tokens = gtokens.reshape(BS, P, C)
+        gtokens = self._constrain(gtokens, ba, None, None)
+        tokens = self._constrain(gtokens.reshape(BS, P, C), ba, None, None)
         global_inter = gtokens.reshape(self.B, self.S, P, C)
         attn_accum = attn_accum + attn_weight * amap.astype(attn_accum.dtype)
         return (tokens, attn_accum), (frame_inter, global_inter)
@@ -76,9 +100,11 @@ class AlternatingPair(nn.Module):
 class Aggregator(nn.Module):
     cfg: VggtConfig
     # optional sequence parallelism for the global-attention token axis
-    # (MeshConfig.sequence_parallel -> VggtTeacher(sp_mesh=...))
+    # (MeshConfig.sequence_parallel -> VggtTeacher(sp_mesh=...));
+    # sp_batch_axis keeps the batch sharded over an orthogonal axis (DP x SP)
     sp_mesh: Optional[object] = None
     sp_axis: str = "data"
+    sp_batch_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -156,7 +182,7 @@ class Aggregator(nn.Module):
         )
         (_, attn_mean), (frame_inter, global_inter) = Scanned(
             cfg, B=B, S=S, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
-            name="aa_pairs"
+            sp_batch_axis=self.sp_batch_axis, name="aa_pairs"
         )((tokens, attn_init), weights, pos, gpos, temperature)
         # (L, B, S, P, C) x2
 

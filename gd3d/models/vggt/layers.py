@@ -60,9 +60,11 @@ class VggtAttention(nn.Module):
     special_tokens: int = 5
     # sequence/context parallelism: when a mesh is set, attention runs
     # ring-passed-KV sharded on the token axis over `sp_axis` (the CP story
-    # for the S*P global-attention axis, SURVEY.md §2.4/§5)
+    # for the S*P global-attention axis, SURVEY.md §2.4/§5). sp_batch_axis
+    # optionally keeps B sharded over an orthogonal mesh axis (DP x SP).
     sp_mesh: Optional[object] = None
     sp_axis: str = "data"
+    sp_batch_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pos=None, return_attn: bool = False, temperature=1.0):
@@ -88,7 +90,8 @@ class VggtAttention(nn.Module):
             from gd3d.parallel.sequence import ring_attention
 
             out = ring_attention(
-                q, k, v, self.sp_mesh, self.sp_axis, scale
+                q, k, v, self.sp_mesh, self.sp_axis, scale,
+                batch_axis=self.sp_batch_axis,
             ).reshape(B, N, C)
         else:
             out = scaled_dot_attention(q, k, v, scale=scale).reshape(B, N, C)
@@ -132,6 +135,7 @@ class VggtBlock(nn.Module):
     scanned: bool = False
     sp_mesh: Optional[object] = None
     sp_axis: str = "data"
+    sp_batch_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pos=None, return_attn: bool = False, temperature=1.0):
@@ -140,6 +144,7 @@ class VggtBlock(nn.Module):
             self.dim, self.num_heads, qk_norm=self.qk_norm,
             use_rope=self.use_rope, rope_freq=self.rope_freq, eps=self.eps,
             sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+            sp_batch_axis=self.sp_batch_axis,
             name="attn",
         )(h, pos=pos, return_attn=return_attn, temperature=temperature)
         if self.init_values is not None:

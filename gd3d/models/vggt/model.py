@@ -23,12 +23,13 @@ class Vggt(nn.Module):
     # optional sequence parallelism for the aggregator's global attention
     sp_mesh: Optional[object] = None
     sp_axis: str = "data"
+    sp_batch_axis: Optional[str] = None
 
     def setup(self):
         cfg = self.cfg
         self.aggregator = Aggregator(
             cfg, sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
-            name="aggregator",
+            sp_batch_axis=self.sp_batch_axis, name="aggregator",
         )
         self.camera_head = CameraHead(cfg, name="camera_head")
         self.depth_head = VggtDPTHead(

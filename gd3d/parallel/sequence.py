@@ -39,6 +39,7 @@ def ring_attention(
     mesh: Mesh,
     axis: str = DATA_AXIS,
     scale: Optional[float] = None,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sequence-sharded attention with ring-passed KV.
 
@@ -46,10 +47,17 @@ def ring_attention(
     Each device keeps its N/n query shard; K/V shards rotate around the ring
     with jax.lax.ppermute while an online-softmax accumulator merges blocks —
     the shard_map/XLA-collective analogue of ring attention.
+
+    batch_axis: optionally shard B over a second mesh axis so SP composes
+    with data parallelism (the DP x SP regime: batch stays on `batch_axis`,
+    the ring rides `axis` — orthogonal axes, so the surrounding layout
+    transitions stay local instead of cross-axis reshuffles).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = mesh.shape[axis]
+    if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis] != 0:
+        batch_axis = None  # e.g. the B=1 init dummy: replicate the batch
 
     def local(qs, ks, vs):
         # qs/ks/vs: per-device shards (B, N/n, H, D)
@@ -78,7 +86,7 @@ def ring_attention(
         num, den, _ = acc
         return (num / den.transpose(0, 2, 1)[..., None]).astype(q.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
     return jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
     )(q, k, v)
@@ -91,10 +99,13 @@ def allgather_kv_attention(
     mesh: Mesh,
     axis: str = DATA_AXIS,
     scale: Optional[float] = None,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Query-sharded attention with all-gathered KV (small-KV regime)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if batch_axis is not None and q.shape[0] % mesh.shape[batch_axis] != 0:
+        batch_axis = None  # e.g. the B=1 init dummy: replicate the batch
 
     def local(qs, ks, vs):
         kg = jax.lax.all_gather(ks, axis, axis=1, tiled=True)
@@ -102,7 +113,7 @@ def allgather_kv_attention(
         num, den, _ = _block_attention(qs, kg, vg, scale)
         return (num / den.transpose(0, 2, 1)[..., None]).astype(qs.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
     return jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
     )(q, k, v)

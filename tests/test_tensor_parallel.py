@@ -192,3 +192,79 @@ def test_vggt_teacher_tp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(ref[k]), np.asarray(got[k]), rtol=5e-4, atol=1e-5,
             err_msg=k)
+
+
+@pytest.mark.slow
+def test_vggt_step_tp_live_keypoints_matches_single_device():
+    """Full VGGT distillation TRAIN step with LIVE keypoints (biased camera
+    + track-flow heads, gd3d.teachers.vggt.bias_params_for_live_keypoints)
+    over the 4x2 DP x TP mesh vs the plain 1-device run: num_kps must be
+    nonzero and every kp-dependent loss (ap, depth, intra_depth, kl) must
+    match — round 2 only ever exercised the zero-kp guard path on-mesh
+    (VERDICT r2 item 4; reference live-kp step finetune_timm_vggt.py:413-447).
+    """
+    from gd3d.core.config import LossWeights
+    from gd3d.distill.vggt_step import build_vggt_train_step
+    from gd3d.models.vggt.config import VggtConfig
+    from gd3d.teachers.vggt import VggtTeacher, bias_params_for_live_keypoints
+
+    vcfg = VggtConfig(
+        img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2,
+        num_register_tokens=4, dino_depth=2, dino_num_heads=2,
+        camera_trunk_depth=1, camera_iterations=2, dpt_features=8,
+        dpt_out_channels=(8, 8, 8, 8), dpt_hooks=(0, 0, 1, 1),
+        track_features=8, track_iters=2, track_stride=2, corr_levels=2,
+        corr_radius=1, track_hidden_size=16, track_depth=2,
+        num_virtual_tracks=4,
+    )
+    teacher = VggtTeacher(vcfg)
+    tparams = bias_params_for_live_keypoints(
+        teacher.init_params(jax.random.key(1), hw=(28, 28)), vcfg)
+
+    cfg = DistillConfig(
+        teacher="vggt", dataset="scannetpp",
+        loss_weights=LossWeights(ap=1.0, depth=1.0, intra_depth=1.0, kl=1.0),
+        student=StudentConfig(
+            embed_dim=64, depth=2, num_heads=2, patch_size=16,
+            pretrain_img_size=32, lora_start_block=1, use_adapters=True,
+            adapter_bottleneck=8, target_res=64, depth_head_hidden=16,
+        ),
+    )
+    student = Student(cfg.student)
+    params = student.init(jax.random.key(5), img_size=32)
+    trainable, frozen = split_params(params)
+    tx = make_optimizer(cfg.train)
+    step_fn = build_vggt_train_step(student, teacher, cfg, tx)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "rgb_1": jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32),
+        "rgb_2": jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32),
+        "rgb_vggt": jnp.asarray(rng.rand(4, 2, 28, 28, 3), jnp.float32),
+    }
+    key = jax.random.key(7)
+
+    state = init_state(tx, trainable)
+    state_ref, m_ref = jax.jit(step_fn)(state, frozen, tparams, batch, 1.0, key)
+    assert float(m_ref["num_kps"]) > 0, "biased heads still drove 0 kps"
+
+    mesh = _mesh()
+    tr_tp = apply_tp_sharding(trainable, mesh)
+    fz_tp = apply_tp_sharding(frozen, mesh)
+    tp_tparams = apply_tp_sharding(tparams, mesh)
+    state_tp = init_state(tx, tr_tp)
+    batch_tp = shard_batch(mesh, batch)
+    with mesh:
+        state_tp2, m_tp = jax.jit(step_fn)(
+            state_tp, fz_tp, tp_tparams, batch_tp, 1.0, key)
+
+    assert float(m_tp["num_kps"]) == float(m_ref["num_kps"]), (
+        float(m_ref["num_kps"]), float(m_tp["num_kps"]))
+    for k in ("loss", "ap_loss", "depth_loss", "intra_depth_loss", "kl_loss"):
+        a, b = float(m_ref[k]), float(m_tp[k])
+        assert abs(a - b) < 1e-4 * max(1.0, abs(a)), (k, a, b)
+    ref_leaves = jax.tree_util.tree_leaves(jax.device_get(state_ref.trainable))
+    tp_leaves = jax.tree_util.tree_leaves(jax.device_get(state_tp2.trainable))
+    for a, b in zip(ref_leaves, tp_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-6)
