@@ -79,6 +79,71 @@ def _flash_sdpa(q, k, v, scale):
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def _pack_heads(x):
+    """(B, M, H, D) -> two (B, M, H/2, D) halves of the head axis."""
+    B, M, H, D = x.shape
+    xr = x.reshape(B, M, H // 2, 2, D)
+    return xr[:, :, :, 0], xr[:, :, :, 1]
+
+
+def _flash_sdpa_head_packed(q, k, v, scale):
+    """Flash attention for head_dim 64 with PAIRS of heads packed into one
+    128-lane virtual head.
+
+    head_dim 64 half-fills the v5e MXU's 128-wide tiles, capping the stock
+    kernel at ~18-19% MFU on the ViT-B student (PERF_NOTES). Packing builds,
+    per head pair (h1, h2):
+
+        q_cat = [[q_h1  0  ]      (2N, 128)   block-diagonal queries
+                 [0    q_h2]]
+        k_cat = [k_h1 | k_h2]     (M, 128)    concatenated keys
+        v_cat = [v_h1 | v_h2]     (M, 128)
+
+    so q_cat @ k_cat^T contracts over 128 lanes yet row n < N yields exactly
+    q_h1 . k_h1 (the zero half annihilates k_h2) and row n >= N yields
+    q_h2 . k_h2 — the QK matmul runs at FULL MXU utilization with the same
+    FLOP count (2x fewer idle lanes), softmax rows stay per-head exact, and
+    the stock kernel's backward differentiates through the pack/unpack
+    reshapes for free. The P@V product computes a junk cross half that the
+    unpack slices away (out[:N, :64] and out[N:, 64:]) — full-lane but
+    doubled FLOPs, a wash vs the half-lane original. Net: the QK half of
+    the kernel doubles its throughput.
+
+    MEASURED A WASH on one v5e (scripts/probe_head_packing.py, round 3):
+    stock 13.26 vs packed 13.06 ms/layer at the student's (B=2, N=4161)
+    fwd+bwd, and slightly WORSE at 4608/6401 — the microbench confirms the
+    MXU underfill (K=64 -> 128 doubles matmul throughput at equal time),
+    but the flash kernel at these shapes is bound by its softmax/VPU work
+    and the PV-side matmuls, where the packed junk half cancels the QK
+    win. Kept opt-in (GD3D_FLASH_PACK=1), numerics bit-exact vs stock —
+    same lesson as RoPE2D/pairwise-rank: kernels must beat XLA (here, the
+    stock kernel) in MEASUREMENT, not in tile arithmetic.
+    """
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    q1, q2 = _pack_heads(q)  # (B, N, H/2, D)
+    k1, k2 = _pack_heads(k)
+    v1, v2 = _pack_heads(v)
+    z = jnp.zeros_like(q1)
+    q_cat = jnp.concatenate(
+        [
+            jnp.concatenate([q1, z], axis=-1),
+            jnp.concatenate([z, q2], axis=-1),
+        ],
+        axis=1,
+    )  # (B, 2N, H/2, 2D)
+    k_cat = jnp.concatenate([k1, k2], axis=-1)  # (B, M, H/2, 2D)
+    v_cat = jnp.concatenate([v1, v2], axis=-1)
+    out = _flash_sdpa(q_cat, k_cat, v_cat, scale)  # (B, 2N, H/2, 2D)
+    o1 = out[:, :N, :, :D]
+    o2 = out[:, N:, :, D:]
+    return jnp.stack([o1, o2], axis=3).reshape(B, N, H, D)
+
+
+# head-packing threshold: pack when head_dim underfills the 128-lane MXU
+_PACK_HEAD_DIM = 64
+
+
 def scaled_dot_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -86,9 +151,21 @@ def scaled_dot_attention(
     scale: Optional[float] = None,
     force_xla: bool = False,
 ) -> jnp.ndarray:
-    """(B, N, H, D) x (B, M, H, D) attention. Flash on TPU, einsum fallback."""
+    """(B, N, H, D) x (B, M, H, D) attention. Flash on TPU, einsum fallback.
+
+    GD3D_FLASH_PACK=1 routes head_dim-64 inputs with an even head count to
+    the head-packed variant (2 heads per 128-lane MXU tile) — measured a
+    wash on v5e, see _flash_sdpa_head_packed."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if force_xla or jax.default_backend() != "tpu":
         return _einsum_sdpa(q, k, v, scale)
+    import os
+
+    if (
+        q.shape[-1] == _PACK_HEAD_DIM
+        and q.shape[2] % 2 == 0
+        and os.environ.get("GD3D_FLASH_PACK") == "1"
+    ):
+        return _flash_sdpa_head_packed(q, k, v, scale)
     return _flash_sdpa(q, k, v, scale)
