@@ -97,7 +97,13 @@ def main():
         "i1": jnp.asarray(rng.rand(R, 1, H, W, 3) * 2 - 1, jnp.float32),
         "i2": jnp.asarray(rng.rand(R, 1, H, W, 3) * 2 - 1, jnp.float32),
     }
-    timed("teacher extract_features (fp32)        ",
+    # consume the FULL feature dict: returning only desc_1 lets XLA DCE the
+    # second head + the attention export (~the round-2 probe's blind spot)
+    timed("teacher extract_features FULL (fp32)   ",
+          lambda x, tp: teacher.extract_features(
+              tp, x["i1"], x["i2"], 1.0, dtype=None),
+          imgs, tparams)
+    timed("  ... desc_1 only (head2+attn DCE'd)   ",
           lambda x, tp: teacher.extract_features(
               tp, x["i1"], x["i2"], 1.0, dtype=None)["desc_1"],
           imgs, tparams)
@@ -182,6 +188,114 @@ def main():
     timed("pairwise tail fwd+bwd (672^2 x 128)    ",
           lambda x, tr, fz: jax.grad(pair_loss, argnums=1)(x, tr, fz),
           px, trainable, frozen)
+
+    # ---- AP matching loss tail (fwd+bwd wrt descriptors) ----
+    from gd3d.ops.losses import ap_loss_paired
+
+    ax = {
+        "d1": jnp.asarray(rng.randn(R, 1, G, 768), jnp.float32),
+        "d2": jnp.asarray(rng.randn(R, 1, G, 768), jnp.float32),
+        "p1": jnp.asarray(rng.rand(R, 1, G, 3), jnp.float32),
+        "p2": jnp.asarray(rng.rand(R, 1, G, 3), jnp.float32),
+        "v": jnp.asarray(rng.rand(R, 1, G) > 0.3),
+    }
+
+    def ap_tail(x):
+        def f(d1, d2):
+            return ap_loss_paired(
+                d1, d2, x["p1"], x["p2"], x["v"],
+                thres3d_neg=kcfg.thres3d_neg, temp=kcfg.ap_sigmoid_temp)
+
+        return jax.grad(f, argnums=(0, 1))(x["d1"], x["d2"])
+
+    timed("AP loss tail fwd+bwd (672^2 sims)      ", ap_tail, ax)
+
+    # ---- cost-volume KL tail (einsums + masks + fused kernel, fwd+bwd) ----
+    from gd3d.kernels.cost_kl import masked_softmax_kl_rows
+    from gd3d.ops.basic import l2_normalize
+    from gd3d.ops.masks import masked_patch_cost, patch_mask_from_kps
+
+    kx = {
+        "fc": jnp.asarray(rng.randn(R, 2, G, 768), jnp.float32),
+        "tc1": jnp.asarray(rng.rand(R, 1, G, G), jnp.float32),
+        "tc2": jnp.asarray(rng.rand(R, 1, G, G), jnp.float32),
+        "kp1": jnp.asarray(
+            rng.rand(R, 1, G, 2) * np.asarray([W - 2, H - 2]), jnp.float32),
+        "kp2": jnp.asarray(
+            rng.rand(R, 1, G, 2) * np.asarray([W - 2, H - 2]), jnp.float32),
+        "v": jnp.asarray(rng.rand(R, 1, G) > 0.3),
+    }
+
+    def kl_tail(x):
+        def f(fc):
+            fc_1 = l2_normalize(fc[:1].reshape(1, G, -1), axis=-1)
+            fc_2 = l2_normalize(fc[1:].reshape(1, G, -1), axis=-1)
+            cost_12 = jnp.einsum("bnc,bmc->bnm", fc_1, fc_2)
+            cost_21 = jnp.einsum("bnc,bmc->bnm", fc_2, fc_1)
+            m1 = jax.vmap(
+                lambda kp, v: patch_mask_from_kps(kp, H, W, 16, valid=v)
+            )(x["kp1"], x["v"])
+            m2 = jax.vmap(
+                lambda kp, v: patch_mask_from_kps(kp, H, W, 16, valid=v)
+            )(x["kp2"], x["v"])
+            t1 = jax.vmap(lambda c, m: masked_patch_cost(c[None], m)[0])(
+                x["tc1"], m1)
+            t2 = jax.vmap(lambda c, m: masked_patch_cost(c[None], m)[0])(
+                x["tc2"], m2)
+            return (jnp.mean(masked_softmax_kl_rows(t1, cost_12, m1))
+                    + jnp.mean(masked_softmax_kl_rows(t2, cost_21, m2))) / 2.0
+
+        return jax.grad(f)(x["fc"])
+
+    timed("cost-KL tail fwd+bwd (masks+einsum+KL) ", kl_tail, kx)
+
+    # ---- kp-depth windows + depth-diff head (fwd+bwd) ----
+    from gd3d.ops.geometry import extract_kp_depth
+
+    dx = {
+        "d1": jnp.asarray(rng.rand(R, 1, H, W), jnp.float32),
+        "d2": jnp.asarray(rng.rand(R, 1, H, W), jnp.float32),
+        "kp1": jnp.asarray(
+            rng.rand(R, 1, G, 2) * np.asarray([W - 2, H - 2]), jnp.float32),
+        "kp2": jnp.asarray(
+            rng.rand(R, 1, G, 2) * np.asarray([W - 2, H - 2]), jnp.float32),
+        "kf": jnp.asarray(rng.randn(R, 2, G, cfg.student.embed_dim),
+                          jnp.float32),
+        "v": jnp.asarray(rng.rand(R, 1, G) > 0.3),
+    }
+
+    def depth_tail(x, tr, fz):
+        def f(tr, kf):
+            p = merge_params(tr, fz)
+            kd1 = jax.vmap(lambda d, kp: extract_kp_depth(d, kp[None], 3)[0])(
+                x["d1"], x["kp1"])
+            kd2 = jax.vmap(lambda d, kp: extract_kp_depth(d, kp[None], 3)[0])(
+                x["d2"], x["kp2"])
+            pred = student.depth_diff(p, kf[:1] - kf[1:])
+            gt = jnp.tanh(kd1 - kd2)
+            from gd3d.ops.losses import _masked_mean
+            return _masked_mean(jnp.abs(pred - gt), x["v"])
+
+        return jax.grad(f, argnums=(0, 1))(tr, x["kf"])
+
+    timed("kp-depth + depth-diff head fwd+bwd     ",
+          depth_tail, dx, trainable, frozen)
+
+    # ---- optimizer update (adapter AdamW + clip) ----
+    tx_p = make_optimizer(cfg.train)
+    state_p = init_state(tx_p, trainable)
+    gx = {"g": jnp.asarray(rng.rand(R), jnp.float32)}
+
+    def opt_update(x, st):
+        grads = jax.tree_util.tree_map(
+            lambda p: p * x["g"], st.trainable)
+        updates, opt_state = tx_p.update(grads, st.opt_state, st.trainable)
+        return optax.apply_updates(st.trainable, updates)
+
+    import optax
+
+    timed("optimizer update (adapter AdamW + clip)",
+          opt_update, gx, state_p)
 
     # ---- REAL train step (absolute cross-check vs bench.py) ----
     tx = make_optimizer(cfg.train)
