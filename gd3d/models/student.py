@@ -123,9 +123,37 @@ class Student:
         take_indices: Sequence[int] = (),
         final_tokens: bool = True,
     ) -> dict:
-        """Run the ViT on ALREADY-normalized NHWC images."""
-        return self.vit.apply(
-            {"params": params["vit"]},
+        """Run the ViT on ALREADY-normalized NHWC images.
+
+        When the caller only taps intermediate layers (final_tokens=False),
+        the trunk is TRUNCATED past the deepest tapped layer: the cost
+        passes tap layer 7 of 12, and the weight-stacked scan cannot DCE
+        iterations 8-11 (their outputs land in the stacked ys regardless),
+        so a 12-layer scan wastes a third of the trunk. A depth-sliced
+        module + param view runs exactly the needed layers — identical
+        numerics, ~1/3 less cost-pass compute."""
+        n_need = self.cfg.depth
+        if not final_tokens and take_indices:
+            n_need = max(int(i) % self.cfg.depth for i in take_indices) + 1
+        if n_need < self.cfg.depth:
+            import dataclasses as _dc
+
+            vit = ViT(_dc.replace(self.cfg, depth=n_need))
+            n_plain = min(self.cfg.lora_start_block, n_need)
+            n_adapt = n_need - n_plain
+            vp = dict(params["vit"])
+            if "blocks_plain" in vp:
+                vp["blocks_plain"] = jax.tree_util.tree_map(
+                    lambda x: x[:n_plain], vp["blocks_plain"])
+            if n_adapt <= 0:
+                vp.pop("blocks_adapt", None)
+            elif "blocks_adapt" in vp:
+                vp["blocks_adapt"] = jax.tree_util.tree_map(
+                    lambda x: x[:n_adapt], vp["blocks_adapt"])
+        else:
+            vit, vp = self.vit, params["vit"]
+        return vit.apply(
+            {"params": vp},
             imgs,
             stride=stride,
             take_indices=tuple(take_indices),

@@ -105,3 +105,31 @@ def test_dense_grid_features_stride_override():
     assert g16.shape == (1, 6, 6, 32)
     g8 = s.dense_grid_features(params, rgbs, stride=4)
     assert g8.shape == (1, 11, 11, 32)
+
+
+def test_intermediate_only_pass_truncates_trunk_identically():
+    """Cost passes tap layer 7 of 12 with final_tokens=False; the trunk is
+    truncated past the deepest tap (the weight-stacked scan cannot DCE the
+    remaining iterations). Numerics must be IDENTICAL to the full run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gd3d.models.student import Student, normalize_img
+
+    cfg = StudentConfig(
+        embed_dim=64, depth=12, num_heads=2, patch_size=16,
+        pretrain_img_size=32, lora_start_block=4, use_adapters=True,
+        adapter_bottleneck=8, target_res=64, depth_head_hidden=16,
+    )
+    s = Student(cfg)
+    p = s.init(jax.random.key(0), img_size=32)
+    rgb = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                      jnp.float32)
+    x = normalize_img(rgb)
+    trunc = s.forward_tokens(p, x, take_indices=(4, 5, 6, 7),
+                             final_tokens=False)
+    full = s.forward_tokens(p, x, take_indices=(4, 5, 6, 7),
+                            final_tokens=True)
+    for a, b in zip(trunc["intermediates"], full["intermediates"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
