@@ -194,7 +194,7 @@ def bench_vggt(jax, jnp) -> dict:
     state = init_state(tx, trainable)
     # K steps per dispatch (lax.scan) — same tunnel-overhead amortization as
     # the flagship MASt3R bench
-    K = int(os.environ.get("GD3D_BENCH_VGGT_K", "4"))
+    K = int(os.environ.get("GD3D_BENCH_VGGT_K", "8"))
     step = jax.jit(build_vggt_train_multistep(student, teacher, cfg, tx))
 
     rng = np.random.RandomState(0)

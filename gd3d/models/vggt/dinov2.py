@@ -29,13 +29,19 @@ def _interp_pos_embed(pos_embed: jnp.ndarray, grid_hw, num_prefix: int = 1):
     if (gh, gw) == (M, M):
         return pos_embed
     grid = patch.reshape(M, M, -1)
-    # torch: interpolate(size=(w0, h0)) on (1, C, M, M) -> (1, C, w0, h0),
-    # flattened row-major => first axis resized to w0 (= gw), second to gh.
-    Wh = jnp.asarray(_bicubic_resize_matrix(M, gw, antialias=True))
-    Ww = jnp.asarray(_bicubic_resize_matrix(M, gh, antialias=True))
+    # vision_transformer.py has TWO quirks that cancel: prepare_tokens
+    # unpacks `B, nc, w, h = x.shape` (so "w" is really H), and
+    # interpolate_pos_encoding sizes to (w0, h0) — net effect: the pos
+    # grid is resized to the NORMAL (gh, gw) layout and flattened
+    # row-major, aligning with the patch tokens. (Round 3 fix: the
+    # round-2 reading applied the size quirk without the unpack quirk,
+    # transposing the grid on non-square inputs — caught by the 392x518
+    # reference-direct test.)
+    Wh = jnp.asarray(_bicubic_resize_matrix(M, gh, antialias=True))
+    Ww = jnp.asarray(_bicubic_resize_matrix(M, gw, antialias=True))
     grid = jnp.einsum("oi,ijc->ojc", Wh, grid)
     grid = jnp.einsum("oj,ijc->ioc", Ww, grid)
-    return jnp.concatenate([prefix, grid.reshape(1, gw * gh, -1)], axis=1)
+    return jnp.concatenate([prefix, grid.reshape(1, gh * gw, -1)], axis=1)
 
 
 class DinoV2(nn.Module):

@@ -64,18 +64,23 @@ def _bicubic_resize_matrix(in_size: int, out_size: int, antialias: bool = False)
     W = np.zeros((out_size, in_size), np.float32)
     scale = in_size / out_size
     if antialias and scale > 1.0:
+        # torch's upsample_bicubic2d_aa (the PIL-style separable filter):
+        # cubic with a=-0.5, support stretched by scale, taps CLAMPED to
+        # the valid range (no border replication) and renormalized.
         support = 2.0 * scale
         for o in range(out_size):
-            center = (o + 0.5) * scale - 0.5
-            lo = int(np.floor(center - support)) + 1
-            hi = int(np.floor(center + support)) + 1
-            taps = range(lo, hi)
-            ws = np.array([_cubic_kernel((t - center) / scale) for t in taps])
+            center = scale * (o + 0.5)
+            xmin = max(0, int(center - support + 0.5))
+            xmax = min(in_size, int(center + support + 0.5))
+            taps = range(xmin, xmax)
+            ws = np.array([
+                _cubic_kernel((t + 0.5 - center) / scale, a=-0.5)
+                for t in taps
+            ])
             s = ws.sum()
             if s > 0:
                 ws = ws / s
-            for t, w in zip(taps, ws):
-                W[o, min(max(t, 0), in_size - 1)] += w
+            W[o, xmin:xmax] = ws
         return W
     for o in range(out_size):
         src = (o + 0.5) * scale - 0.5
