@@ -31,6 +31,7 @@ def frame_descriptors(
     rgb: np.ndarray,
     kps: np.ndarray,
     refine: bool = True,
+    device: bool = False,
 ) -> np.ndarray:
     """Descriptors at pixel keypoints of the ORIGINAL frame.
 
@@ -61,14 +62,69 @@ def frame_descriptors(
         params, jnp.asarray(img[None], jnp.float32),
         jnp.asarray(kps[None].astype(np.float32)),
     )
-    return np.asarray(desc)
+    # device=True keeps the (N, C) descriptors on-device for the matching
+    # stage — pulling 50 MB per frame through a remote-device tunnel costs
+    # ~1 s, ~4x the compute itself
+    return desc if device else np.asarray(desc)
+
+
+_NN_JIT_CACHE: dict = {}
+
+
+def _device_argmax_rows(a, b, row_chunk: int = 2048) -> np.ndarray:
+    """argmax_j a @ b.T per row, chunked over rows ON-DEVICE.
+
+    The reference runs this matmul on the GPU (evaluate_timm.py:166-179);
+    the numpy fallback below is its CPU transliteration, which at the
+    real shapes (16k x 768 query grid vs a 120k bank = ~3 TFLOP) takes
+    ~150 s/frame on a 1-core host. One jitted chunk loop on the TPU does
+    the FLOPs in well under a second — pass jax arrays (descriptors
+    already live on-device) or the host<->device transfer of the 350 MB
+    bank dominates through a remote-device tunnel."""
+    import jax
+
+    n, d = a.shape
+    pad = (-n) % row_chunk
+    key = (n + pad, b.shape[0], d, row_chunk)
+    if key not in _NN_JIT_CACHE:
+        @jax.jit
+        def run(ap, bp):
+            def f(chunk):
+                return jnp.argmax(chunk @ bp.T, axis=-1)
+
+            return jax.lax.map(
+                f, ap.reshape(-1, row_chunk, ap.shape[-1])).reshape(-1)
+
+        _NN_JIT_CACHE[key] = run
+    ap = jnp.pad(jnp.asarray(a, jnp.float32), ((0, pad), (0, 0)))
+    out = np.asarray(_NN_JIT_CACHE[key](ap, jnp.asarray(b, jnp.float32)))
+    return out[:n]
+
+
+def mutual_nn_match_device(desc_q, desc_t) -> np.ndarray:
+    """Mutual nearest neighbors with both argmax passes on-device.
+
+    desc_q/desc_t may be numpy OR jax arrays; keeping them on-device
+    (frame_descriptors(..., device=True)) avoids the transfer round trips.
+    """
+    nbr1 = _device_argmax_rows(desc_q, desc_t)
+    nbr2 = _device_argmax_rows(desc_t, desc_q)
+    mutual = nbr2[nbr1] == np.arange(len(nbr1))
+    return np.where(mutual, nbr1, -1)
 
 
 def mutual_nn_match(
     desc_q: np.ndarray, desc_t: np.ndarray, chunk_elems: int = 25000 * 10000
 ) -> np.ndarray:
     """Chunked mutual nearest neighbors (evaluate_timm.py:166-179).
-    Returns (Nq,) template index or -1."""
+    Returns (Nq,) template index or -1.
+
+    Dispatches to the on-device path on TPU (identical result — argmax of
+    the same similarity matrix); the numpy path is the fallback."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return mutual_nn_match_device(desc_q, desc_t)
     nbr1 = np.empty(len(desc_q), np.int64)
     step = max(1, (chunk_elems - 1) // max(len(desc_t), 1) + 1)
     for i in range(0, len(desc_q), step):
@@ -136,17 +192,23 @@ def evaluate_object(
     templates: list of (kp2d (N,2), rgb (H,W,3) uint8, kp3d (N,3)) seq-1
       frames; test_frames: dicts with rgb, intrinsic (3,3), pose_gt (4,4).
     """
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
     rng = rng or np.random.RandomState(0)
     all_desc, all_pts3d = [], []
     for kp2d, rgb, kp3d in templates:
-        d = frame_descriptors(student, params, rgb, kp2d, refine)
+        d = frame_descriptors(student, params, rgb, kp2d, refine,
+                              device=on_tpu)
         all_desc.append(d)
         all_pts3d.append(kp3d)
-    desc_t = np.concatenate(all_desc, 0)
+    xp = jnp if on_tpu else np
+    desc_t = xp.concatenate(all_desc, 0)
     pts3d_t = np.concatenate(all_pts3d, 0)
     if len(desc_t) > template_cap:
         idx = rng.choice(len(desc_t), template_cap, replace=False)
-        desc_t = desc_t[idx]
+        desc_t = desc_t[idx] if not on_tpu else jnp.take(
+            desc_t, jnp.asarray(idx), axis=0)
         pts3d_t = pts3d_t[idx]
 
     R_errs, t_errs = [], []
@@ -155,8 +217,10 @@ def evaluate_object(
         rgb = frame["rgb"]
         if kp is None:
             kp = grid_keypoints(rgb.shape[0], rgb.shape[1], grid_stride)
-        desc_q = frame_descriptors(student, params, rgb, kp, refine)
-        nn = mutual_nn_match(desc_q, desc_t)
+        desc_q = frame_descriptors(student, params, rgb, kp, refine,
+                                   device=on_tpu)
+        nn = (mutual_nn_match_device(desc_q, desc_t) if on_tpu
+              else mutual_nn_match(desc_q, desc_t))
         m = nn >= 0
         pose = solve_pose(kp[m], pts3d_t[nn[m]], frame["intrinsic"])
         r, t = query_pose_error(pose, frame["pose_gt"])

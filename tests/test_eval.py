@@ -164,3 +164,21 @@ def test_grid_keypoints():
     kp = grid_keypoints(8, 12, 4)
     assert kp.shape == (6, 2)
     assert kp[:, 0].max() == 8 and kp[:, 1].max() == 4
+
+
+def test_mutual_nn_device_path_matches_numpy():
+    """The on-device chunked argmax matcher (the TPU replacement for the
+    reference's GPU matmul, ~1000x over 1-core numpy at real shapes) must
+    produce the numpy path's matches exactly at fp32-safe scales."""
+    from gd3d.eval.onepose import mutual_nn_match_device
+
+    rng = np.random.RandomState(3)
+    # well-separated descriptors so reduced-precision matmul cannot flip
+    # an argmax
+    q = rng.randn(257, 16).astype(np.float32)
+    t = rng.randn(511, 16).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    want = mutual_nn_match(q, t, chunk_elems=4096)
+    got = mutual_nn_match_device(q, t)
+    np.testing.assert_array_equal(got, want)
