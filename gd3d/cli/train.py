@@ -293,14 +293,51 @@ def main(argv=None):
                 batch = raw[0]
             yield live, batch
 
+    # Image batches cross host->device as uint8 (4x less transfer) and
+    # convert back to float ON-device. All pipeline images are u8-derived
+    # (PNG/JPEG decode; the color augs are u8 -> u8 like the reference's
+    # albumentations), so round-tripping through u8 is LOSSLESS — measured
+    # host_wait on the 1-core host was 75% of epoch wall at K=32 with f32
+    # transfers (~13 MB/pair). Synthetic/dev batches (random floats, not
+    # u8-derived) skip packing to keep their numerics exact.
+    real_data = (_make_epoch_dataset(args, cfg, 0) is not None
+                 and os.environ.get("GD3D_U8_TRANSFER", "1") != "0")
+
+    def _pack_u8(batch):
+        out = {}
+        for k, v in batch.items():
+            if k.startswith("rgb_mast3r"):  # [-1, 1] = u8 / 127.5 - 1
+                out[k] = np.round((v + 1.0) * 127.5).astype(np.uint8)
+            elif k.startswith("rgb"):       # [0, 1] = u8 / 255
+                out[k] = np.round(np.asarray(v) * 255.0).astype(np.uint8)
+            else:
+                out[k] = v
+        return out
+
+    @jax.jit
+    def _unpack_u8(batch):
+        out = {}
+        for k, v in batch.items():
+            if v.dtype == jnp.uint8:
+                if k.startswith("rgb_mast3r"):
+                    out[k] = v.astype(jnp.float32) / 127.5 - 1.0
+                else:
+                    out[k] = v.astype(jnp.float32) / 255.0
+            else:
+                out[k] = v
+        return out
+
     def device_batches(epoch):
         """host_batches + device_put with the DP sharding — also inside the
         prefetch thread, so H2D transfer overlaps the previous step too."""
         for live, batch in host_batches(epoch):
-            yield live, shard_batch(
+            if real_data:
+                batch = _pack_u8(batch)
+            dev = shard_batch(
                 mesh, {k: jnp.asarray(v) for k, v in batch.items()},
                 axis=1 if K > 1 else 0,
             )
+            yield live, (_unpack_u8(dev) if real_data else dev)
 
     print(f"mesh: {dict(mesh.shape)}; output: {out_dir}")
     with mesh, open(metrics_path, "a") as mf:
