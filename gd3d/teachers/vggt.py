@@ -211,6 +211,13 @@ def bias_params_for_live_keypoints(params: dict, cfg: VggtConfig) -> dict:
     """
     params = jax.tree_util.tree_map(lambda x: x, params)  # fresh containers
     pose = np.zeros(9, np.float32)
+    # small +z translation: with an exact identity pose, each pixel
+    # reprojects EXACTLY onto itself and the co-view bounds test sits on
+    # the fp decision boundary — ~1e-7 sharded-vs-single reduction noise
+    # then flips border-mask pixels (observed as a 24% KL divergence in
+    # the TP equality test). Pushing the camera back shrinks reprojections
+    # strictly inside the frame with real margin.
+    pose[2] = 0.25
     pose[6] = 1.0  # identity quat, scalar-last (x, y, z, w)
     pose[7:] = 1.0  # fov_h = fov_w = 1 rad
     fc2 = params["camera_head"]["pose_branch"]["fc2"]
