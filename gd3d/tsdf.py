@@ -1,0 +1,168 @@
+"""TSDF depth-map refinement for globally-aligned scenes.
+
+Parity target: MASt3R's TSDFPostProcess
+(/root/reference/mast3r/cloud_opt/tsdf_optimizer.py:12-110) — for every
+pixel, sample candidate depths along its ray, evaluate a multi-view
+truncated signed-distance function (reproject each candidate into every
+view, SDF = that view's predicted depth minus the candidate's projected
+depth, truncated at the threshold, confidence-weighted average over views)
+and keep the depth whose TSDF is closest to zero.
+
+TPU-first redesign: the reference loops images with a tqdm bar and batches
+queries through a python loop (TSDF_batchsize=1e7); here the whole
+refinement is ONE jitted program — candidates for all pixels of an image
+are evaluated by a `lax.map` over fixed-size query chunks (static shapes),
+and images are vmapped/scanned. Nearest-pixel depth lookup matches the
+reference ("for now, there's no interpolation", :94).
+
+Deviations (documented): confidence weights use the aligner's raw
+confidence maps directly where the reference exps its log-confs — a
+monotone reweighting of the same quantity; the random depth offsets use
+jax PRNG instead of torch.randn.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gd3d.align import Scene
+
+
+def _scene_im_conf(scene: Scene) -> np.ndarray:
+    """Per-image confidence = max over every edge observing the image
+    (base_opt.py:135-141 semantics, same as sparse_from_scene)."""
+    n = scene.n_imgs
+    P = scene.pred_i.shape[1]
+    conf_i = np.asarray(scene.conf_i)
+    conf_j = np.asarray(scene.conf_j)
+    im_conf = np.zeros((n, P), np.float32)
+    for e, (i, j) in enumerate(scene.edges):
+        im_conf[int(i)] = np.maximum(im_conf[int(i)], conf_i[e])
+        im_conf[int(j)] = np.maximum(im_conf[int(j)], conf_j[e])
+    return im_conf
+
+
+def tsdf_refine(
+    scene: Scene,
+    out: Dict[str, jnp.ndarray],
+    thresh: float,
+    nsamples: int = 128,
+    niter: int = 1,
+    seed: int = 0,
+    chunk: int = 16384,
+) -> Dict[str, jnp.ndarray]:
+    """Refine the depthmaps of a `global_align` result with TSDF fusion.
+
+    scene: the DENSE Scene the aligner ran on (conf maps for weighting).
+    out: global_align(...) output (poses/focals/principal_points/depthmaps).
+    thresh: TSDF truncation (the reference's TSDF_thresh; pick ~the depth
+      noise scale). Returns a new dict with refined `depthmaps` and
+      recomputed `pts3d`.
+    """
+    assert scene.pix is None, "tsdf_refine needs dense depth maps"
+    H, W = scene.hw
+    n = scene.n_imgs
+    P = H * W
+
+    poses = jnp.asarray(out["poses"], jnp.float32)          # cam2world
+    focals = jnp.asarray(out["focals"], jnp.float32)
+    pp = jnp.asarray(out["principal_points"], jnp.float32)
+    depth0 = jnp.asarray(out["depthmaps"], jnp.float32).reshape(n, P)
+    conf = jnp.asarray(_scene_im_conf(scene))               # (n, P)
+
+    # world->cam = closed-form inverse of cam2world
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    Rt = jnp.swapaxes(R, 1, 2)
+    w2c_t = -jnp.einsum("nab,nb->na", Rt, t)                # (n, 3)
+
+    xs, ys = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
+    pix = jnp.stack([xs, ys], -1).reshape(P, 2).astype(jnp.float32)
+
+    def tsdf_query(q, curthresh):
+        """q (M, 3) world points -> (TSDF value, valid) per point
+        (tsdf_optimizer.py:85-110)."""
+        cam = jnp.einsum("nab,mb->nma", Rt, q) + w2c_t[:, None]  # (n, M, 3)
+        z = cam[..., 2]
+        zsafe = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+        u = jnp.round(cam[..., 0] / zsafe * focals[:, None] + pp[:, 0:1])
+        v = jnp.round(cam[..., 1] / zsafe * focals[:, None] + pp[:, 1:2])
+        inb = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        lin = (jnp.clip(v, 0, H - 1) * W + jnp.clip(u, 0, W - 1)).astype(
+            jnp.int32)                                       # (n, M)
+        pred_d = jnp.take_along_axis(depth0, lin, axis=1)
+        pred_c = jnp.take_along_axis(conf, lin, axis=1)
+        sdf = pred_d - z
+        unseen = sdf < -curthresh
+        tsdf = jnp.clip(sdf, -curthresh, 1e20)
+        w = jnp.where(inb & ~unseen, pred_c, 0.0)
+        wsum = jnp.sum(w, axis=0)
+        valid = wsum > 0
+        val = jnp.sum(w * tsdf, axis=0) / jnp.maximum(wsum, 1e-12)
+        return val, valid
+
+    def refine_one(d, key, f_i, pp_i, pose_i):
+        """One image's (P,) depths -> refined (P,)."""
+        for it in range(niter):
+            curthresh = (niter - it) * thresh
+            off = (jax.random.normal(key, (P, nsamples)) - 1.0) * curthresh
+            cand = d[:, None] + off                          # (P, S)
+            rel = jnp.concatenate(
+                [
+                    cand[..., None] * ((pix - pp_i) / f_i)[:, None, :],
+                    cand[..., None],
+                ],
+                axis=-1,
+            )                                               # (P, S, 3)
+            world = rel.reshape(-1, 3) @ pose_i[:3, :3].T + pose_i[:3, 3]
+
+            def q_chunk(qc):
+                return tsdf_query(qc, curthresh)
+
+            nq = world.shape[0]
+            pad = (-nq) % chunk
+            wq = jnp.pad(world, ((0, pad), (0, 0)))
+            vals, valids = jax.lax.map(
+                q_chunk, wq.reshape(-1, chunk, 3))
+            vals = vals.reshape(-1)[:nq].reshape(P, nsamples)
+            valids = valids.reshape(-1)[:nq].reshape(P, nsamples)
+
+            avals = jnp.where(valids, jnp.abs(vals), jnp.inf)
+            best = jnp.argmin(avals, axis=-1)
+            # flat zone: every sample clipped to the truncation value
+            allbad = jnp.sum(
+                (jnp.abs(vals) == curthresh).astype(jnp.int32), axis=-1
+            ) == nsamples
+            d_new = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+            d = jnp.where(allbad, d, d_new)
+            key = jax.random.fold_in(key, it)
+        return d
+
+    @jax.jit
+    def run(depth0):
+        outs = []
+        for i in range(n):
+            outs.append(refine_one(
+                depth0[i], jax.random.key(seed + i),
+                focals[i], pp[i], poses[i]))
+        return jnp.stack(outs)
+
+    refined = run(depth0)
+
+    # recompute world points from the refined depths
+    rel = jnp.concatenate(
+        [
+            refined[..., None] * ((pix[None] - pp[:, None]) /
+                                  focals[:, None, None]),
+            refined[..., None],
+        ],
+        axis=-1,
+    )
+    world = jnp.einsum("nab,npb->npa", R, rel) + t[:, None]
+    res = dict(out)
+    res["depthmaps"] = refined.reshape(n, H, W)
+    res["pts3d"] = world.reshape(n, H, W, 3)
+    return res
