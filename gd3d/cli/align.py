@@ -43,6 +43,12 @@ def parse_args(argv=None):
                         "-1 = auto: sparse 1024 when the scene exceeds "
                         "200k dense points (dense cold-compiles in "
                         "minutes on a small host); 0 forces dense")
+    p.add_argument("--tsdf", type=float, default=0.0, metavar="THRESH",
+                   help="TSDF depth refinement after alignment (MASt3R "
+                        "TSDFPostProcess analogue; dense scenes only; "
+                        "THRESH ~ the expected depth noise scale)")
+    p.add_argument("--tsdf-samples", type=int, default=128,
+                   help="candidate depths per pixel for --tsdf")
     p.add_argument("--ply", action="store_true",
                    help="also write a confidence-filtered colored "
                         "pointcloud.ply")
@@ -121,6 +127,16 @@ def main(argv=None) -> None:
         scene = sparse_from_scene(scene, k=sparse_k)
     out = global_align(
         scene, niter=args.niter, lr=args.lr, schedule=args.schedule)
+    if args.tsdf > 0:
+        if scene.pix is not None:
+            print("WARNING: --tsdf needs dense depth maps; skipping "
+                  "(rerun with --sparse 0)")
+        else:
+            from gd3d.tsdf import tsdf_refine
+
+            out = tsdf_refine(scene, out, thresh=args.tsdf,
+                              nsamples=args.tsdf_samples)
+            print(f"TSDF-refined depthmaps (thresh={args.tsdf})")
 
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)

@@ -196,7 +196,7 @@ def test_align_cli_smoke(tmp_path):
     out = tmp_path / "scene"
     main(["--images", *map(str, imgs), "--output", str(out), "--tiny",
           "--size", "224", "--niter", "5", "--pairs", "sliding", "--ply",
-          "--min-conf", "0.0"])
+          "--min-conf", "0.0", "--tsdf", "0.3", "--tsdf-samples", "8"])
     z = np.load(out / "scene.npz")
     n = len(imgs)
     assert z["poses"].shape == (n, 4, 4)
