@@ -49,6 +49,9 @@ def parse_args(argv=None):
                         "THRESH ~ the expected depth noise scale)")
     p.add_argument("--tsdf-samples", type=int, default=128,
                    help="candidate depths per pixel for --tsdf")
+    p.add_argument("--colmap", action="store_true",
+                   help="also export the scene as a COLMAP text model "
+                        "(cameras/images/points3D.txt; dense scenes only)")
     p.add_argument("--ply", action="store_true",
                    help="also write a confidence-filtered colored "
                         "pointcloud.ply")
@@ -158,6 +161,20 @@ def main(argv=None) -> None:
     )
     print(f"aligned {n} images in {len(scene.edges)} pairs; final loss "
           f"{float(out['losses'][-1]):.4f} -> {outdir / 'scene.npz'}")
+
+    if args.colmap:
+        if scene.pix is not None:
+            print("WARNING: --colmap needs a dense scene; skipping")
+        else:
+            from gd3d.colmap_export import export_colmap_text
+
+            export_colmap_text(
+                {k: np.asarray(v) for k, v in out.items()
+                 if k in ("poses", "focals", "principal_points", "pts3d")},
+                str(outdir / "colmap"), images=np.asarray(images),
+                confidence=conf, min_conf=args.min_conf,
+                image_names=[Path(f).name for f in files])
+            print(f"COLMAP text model -> {outdir / 'colmap'}")
 
     if args.ply:
         pts = np.asarray(out["pts3d"]).reshape(-1, 3)
