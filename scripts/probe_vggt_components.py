@@ -91,9 +91,30 @@ def main():
     rv = jnp.asarray(rng.rand(R, 1, 2, V, V, 3), jnp.float32)
 
     # 1. teacher extract (aggregator + heads + unprojection + cost export)
-    timed("1. teacher extract_features        ",
+    # — consume the FULL dict (returning one leaf lets XLA DCE the other
+    # heads; the round-2 numbers had that blind spot)
+    timed("1. teacher extract_features FULL   ",
           lambda x, tp: teacher.extract_features(
-              tp, x, 1.0, dtype="bfloat16")["point_map_view_1"],
+              tp, x, 1.0, dtype="bfloat16"),
+          rv, tparams)
+
+    # 1a. aggregator trunk + cost export only (heads DCE'd): apply the
+    # model but consume only the attention export
+    timed("1a. ... aggregator + cost export    ",
+          lambda x, tp: teacher.model.apply(
+              {"params": jax.tree_util.tree_map(
+                  lambda a: a.astype(jnp.bfloat16)
+                  if a.dtype == jnp.float32 else a, tp)},
+              x.astype(jnp.bfloat16), temperature=1.0)["attn"],
+          rv, tparams)
+
+    # 1b. + depth head (point/camera/track DCE'd)
+    timed("1b. ... + depth head                ",
+          lambda x, tp: teacher.model.apply(
+              {"params": dict(tp, aggregator=jax.tree_util.tree_map(
+                  lambda a: a.astype(jnp.bfloat16)
+                  if a.dtype == jnp.float32 else a, tp["aggregator"]))},
+              x, temperature=1.0)["depth"],
           rv, tparams)
 
     # 2. extract + sample_keypoints (track head) — the delta vs (1) is the
