@@ -21,13 +21,13 @@ import optax
 
 from gd3d.core.config import DistillConfig
 from gd3d.distill.train_state import TrainState
+from gd3d.kernels.cost_kl import masked_softmax_kl_rows
 from gd3d.models.student import Student, merge_params, resize_bilinear
 from gd3d.ops.basic import l2_normalize
 from gd3d.ops.geometry import extract_kp_depth
 from gd3d.ops.losses import (
     _masked_mean,
     ap_loss_paired,
-    kl_divergence_map,
 )
 from gd3d.ops.masks import masked_patch_cost
 from gd3d.teachers.vggt import VggtTeacher
@@ -115,8 +115,8 @@ def vggt_distill_loss(
     hw = ph * pw
     fc_1 = l2_normalize(fc_1.reshape(B, hw, -1), axis=-1)
     fc_2 = l2_normalize(fc_2.reshape(B, hw, -1), axis=-1)
-    cost_12 = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", fc_1, fc_2), axis=-1)
-    cost_21 = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", fc_2, fc_1), axis=-1)
+    cost_12 = jnp.einsum("bnc,bmc->bnm", fc_1, fc_2)
+    cost_21 = jnp.einsum("bnc,bmc->bnm", fc_2, fc_1)
 
     mp_1 = jax.vmap(lambda m: _nearest_downsample_mask(m, ph, pw).reshape(-1))(
         mask_1
@@ -128,16 +128,19 @@ def vggt_distill_loss(
     def rownorm(c, m):
         return masked_patch_cost(c[None], m)[0]
 
-    kl_loss = (
-        kl_divergence_map(
-            jax.vmap(rownorm)(feats["cost_1"], mp_1),
-            jax.vmap(rownorm)(cost_12, mp_1),
-        )
-        + kl_divergence_map(
-            jax.vmap(rownorm)(feats["cost_2"], mp_2),
-            jax.vmap(rownorm)(cost_21, mp_2),
-        )
-    ) / 2.0
+    # Student side fused (softmax + clamp + per-row KL in one Pallas pass,
+    # gd3d/kernels/cost_kl.py; jnp fallback off-TPU). Equivalence to the
+    # reference chain (softmax -> get_masked_patch_cost row-norm -> KL,
+    # finetune_timm_vggt.py:519-533): a masked-IN row's post-softmax
+    # row-norm divides by an exact row-sum of 1, and a masked-OUT row
+    # contributes exactly 0 (both maps clamp 0 -> eps), reproduced here by
+    # masking the kernel's per-row output; the mean keeps the reference's
+    # all-rows denominator.
+    t_1 = jax.vmap(rownorm)(feats["cost_1"], mp_1)
+    t_2 = jax.vmap(rownorm)(feats["cost_2"], mp_2)
+    kl_rows_1 = masked_softmax_kl_rows(t_1, cost_12, mp_1) * mp_1
+    kl_rows_2 = masked_softmax_kl_rows(t_2, cost_21, mp_2) * mp_2
+    kl_loss = (jnp.mean(kl_rows_1) + jnp.mean(kl_rows_2)) / 2.0
 
     # matching AP on world points (finetune_timm_vggt.py:536-575);
     # descriptors from the fused forwards above.

@@ -40,6 +40,33 @@ def test_kernel_matches_jnp_reference_rows():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
+def test_kernel_row_masked_matches_vggt_chain():
+    """The VGGT wiring (kernel rows * row-mask): equals the reference chain
+    softmax -> get_masked_patch_cost row-norm -> kl_divergence_map
+    (finetune_timm_vggt.py:519-533), in value and gradient."""
+    teacher, cost, mask = _data(seed=3)
+    # teacher export rows are softmaxed (sum to 1), like the aggregator's
+    t_soft = jax.nn.softmax(teacher, axis=-1)
+    t_norm = jax.vmap(lambda c, m: masked_patch_cost(c[None], m)[0])(
+        t_soft, mask
+    )
+
+    def vggt_chain(c):
+        s = jax.nn.softmax(c, axis=-1)
+        s = jax.vmap(lambda x, m: masked_patch_cost(x[None], m)[0])(s, mask)
+        return kl_divergence_map(t_norm, s)
+
+    def fused(c):
+        rows = masked_softmax_kl_rows(t_norm, c, mask, 1e-8, True) * mask
+        return jnp.mean(rows)
+
+    np.testing.assert_allclose(
+        float(fused(cost)), float(vggt_chain(cost)), rtol=1e-5)
+    g1 = np.asarray(jax.grad(fused)(cost))
+    g2 = np.asarray(jax.grad(vggt_chain)(cost))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
+
+
 def test_kernel_gradient_matches_autodiff():
     teacher, cost, mask = _data(B=1, N=24, M=32, seed=2)
     t_norm = teacher / jnp.maximum(teacher.sum(-1, keepdims=True), 1e-8)
