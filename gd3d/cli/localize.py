@@ -29,6 +29,12 @@ def parse_args(argv=None):
                    help="scene-confidence gate for matched map pixels")
     p.add_argument("--reproj-px", type=float, default=5.0,
                    help="PnP RANSAC reprojection error (visloc.py default)")
+    p.add_argument("--coarse-to-fine", action="store_true",
+                   help="second matching pass through crop windows of the "
+                        "native-resolution query (mast3r coarse_to_fine)")
+    p.add_argument("--fine-size", type=int, default=None,
+                   help="long side for the fine-pass query (default 2x "
+                        "--size)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random teacher (CI smoke)")
     return p.parse_args(argv)
@@ -80,15 +86,19 @@ def main(argv=None) -> None:
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
     poses, names, n_matches = [], [], []
+    fine_size = args.fine_size or 2 * args.size
     for f in files:
         img = load_image_mast3r(str(f), size=args.size)["img"]
         assert img.shape == scene_images.shape[1:], (
             f"query {f} resizes to {img.shape}, scene is "
             f"{scene_images.shape[1:]} — use matching aspect/size")
+        hires = (load_image_mast3r(str(f), size=fine_size)["img"]
+                 if args.coarse_to_fine else None)
         res = localize_image(
             teacher, params, jnp.asarray(img), scene_images, scene_pts3d,
             scene_conf, top_k=args.top_k, min_conf=args.min_conf,
-            reproj_px=args.reproj_px)
+            reproj_px=args.reproj_px,
+            coarse_to_fine=args.coarse_to_fine, query_hires=hires)
         poses.append(res["pose"])
         names.append(str(f))
         n_matches.append(res["n_matches"])

@@ -85,6 +85,90 @@ def test_solve_localization_focal_estimation_path():
     np.testing.assert_allclose(res["pose"], np.eye(4), atol=1e-3)
 
 
+def _tiny_teacher(hw):
+    import jax
+
+    from gd3d.models.croco import CrocoConfig
+    from gd3d.models.mast3r import Mast3rConfig
+    from gd3d.teachers.mast3r import Mast3rTeacher
+
+    tcfg = Mast3rConfig(
+        croco=CrocoConfig(
+            patch_size=16, enc_embed_dim=32, enc_depth=2, enc_num_heads=2,
+            dec_embed_dim=16, dec_depth=2, dec_num_heads=2),
+        local_feat_dim=6, dpt_feature_dim=16, dpt_last_dim=8)
+    teacher = Mast3rTeacher(tcfg)
+    params = teacher.init_params(jax.random.key(0), hw=hw)
+    return teacher, params
+
+
+@pytest.mark.slow
+def test_fine_match_crops_batched_static_shape():
+    """The coarse-to-fine pass: crops planned from coarse matches, one
+    batched teacher forward, matches mapped back to full-image pixels and
+    padded rows invalid (gd3d/visloc.py::fine_match_crops)."""
+    from gd3d.crops import select_crop_pairs
+    from gd3d.visloc import fine_match_crops
+
+    rng = np.random.RandomState(0)
+    H1, W1 = 192, 256
+    H2, W2 = 160, 224
+    img1 = rng.rand(H1, W1, 3).astype(np.float32) * 2 - 1
+    img2 = rng.rand(H2, W2, 3).astype(np.float32) * 2 - 1
+    n = 80
+    p1 = np.c_[rng.rand(n) * (W1 - 1), rng.rand(n) * (H1 - 1)]
+    p2 = np.c_[p1[:, 0] * (W2 / W1), p1[:, 1] * (H2 / H1)]
+
+    crop_hw, max_pairs = (96, 128), 6
+    teacher, params = _tiny_teacher(crop_hw)
+    kp_1, kp_2, valid = fine_match_crops(
+        teacher, params, img1, img2, p1, p2, crop_hw=crop_hw,
+        maxdim=128, max_pairs=max_pairs, min_conf_percent=0.0)
+
+    assert kp_1.shape[0] == max_pairs and kp_1.shape == kp_2.shape
+    assert valid.shape == kp_1.shape[:2]
+
+    cells1, cells2 = select_crop_pairs(
+        (H1, W1), (H2, W2), p1, p2, maxdim=128,
+        forced_resolution=crop_hw, max_pairs=max_pairs)
+    K = len(cells1)
+    assert K > 0
+    assert not valid[K:].any()  # padded rows are all-invalid
+    for i in range(K):
+        v = valid[i]
+        if not v.any():
+            continue
+        l, t, r, b = cells1[i]
+        assert (kp_1[i][v][:, 0] >= l).all() and (kp_1[i][v][:, 0] < r).all()
+        assert (kp_1[i][v][:, 1] >= t).all() and (kp_1[i][v][:, 1] < b).all()
+        l, t, r, b = cells2[i]
+        assert (kp_2[i][v][:, 0] >= l).all() and (kp_2[i][v][:, 0] < r).all()
+        assert (kp_2[i][v][:, 1] >= t).all() and (kp_2[i][v][:, 1] < b).all()
+
+
+@pytest.mark.slow
+def test_localize_cli_coarse_to_fine_smoke(tmp_path):
+    """the --coarse-to-fine flag end-to-end on a tiny aligned scene."""
+    from gd3d.cli.align import main as align_main
+    from gd3d.cli.localize import main as loc_main
+    from gd3d.data.render_synthetic import render_object_tree
+
+    render_object_tree(str(tmp_path), ["obj"], n_views=3, size=96)
+    imgs = sorted((tmp_path / "obj").glob("color_*.png"))
+    scene = tmp_path / "scene"
+    align_main(["--images", *map(str, imgs), "--output", str(scene),
+                "--tiny", "--size", "224", "--niter", "5",
+                "--pairs", "sliding", "--sparse", "0"])
+    out = tmp_path / "loc"
+    loc_main(["--scene", str(scene / "scene.npz"),
+              "--images", str(imgs[0]), "--output", str(out),
+              "--tiny", "--size", "224", "--min-conf", "0.0",
+              "--coarse-to-fine", "--fine-size", "448"])
+    z = np.load(out / "query_poses.npz")
+    assert z["poses"].shape == (1, 4, 4)
+    assert np.all(np.isfinite(z["poses"]))
+
+
 @pytest.mark.slow
 def test_localize_cli_smoke(tmp_path):
     """align a tiny scene, then localize one of its own images."""
