@@ -31,6 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--objects", default=None,
                    help="text file of object names, one per line (the "
                         "reference's 10k.txt analogue)")
+    p.add_argument("--glb-root", default=None,
+                   help="directory of <name>.glb assets (the reference's "
+                        "--cad_root, render_objects.py:33); names come from "
+                        "--objects or every *.glb under the root. Without "
+                        "it, objects are procedural meshes")
     p.add_argument("--views", type=int, default=42,
                    help="views per object (reference: 42 fixed poses)")
     p.add_argument("--size", type=int, default=512,
@@ -43,11 +48,12 @@ def parse_args(argv=None):
 
 
 def _render_chunk(args_tuple):
-    out_dir, names, views, size, seed = args_tuple
+    out_dir, names, views, size, seed, glb_root = args_tuple
     from gd3d.data.render_synthetic import render_object_tree
 
     return render_object_tree(
-        out_dir, names, n_views=views, size=size, seed=seed)
+        out_dir, names, n_views=views, size=size, seed=seed,
+        glb_root=glb_root)
 
 
 def main(argv=None) -> None:
@@ -58,6 +64,8 @@ def main(argv=None) -> None:
             for line in Path(args.objects).read_text().splitlines()
             if line.strip()
         ]
+    elif args.glb_root:
+        names = sorted(p.name for p in Path(args.glb_root).glob("*.glb"))
     else:
         names = [f"obj_{i:05d}" for i in range(args.num_objects)]
 
@@ -70,7 +78,7 @@ def main(argv=None) -> None:
         step = (len(names) + args.workers - 1) // args.workers
         chunks = [
             (str(out), names[i : i + step], args.views, args.size,
-             args.seed + i)
+             args.seed + i, args.glb_root)
             for i in range(0, len(names), step)
         ]
         with multiprocessing.Pool(len(chunks)) as pool:
@@ -82,7 +90,8 @@ def main(argv=None) -> None:
         poses = all_poses[0]
     else:
         poses = _render_chunk(
-            (str(out), names, args.views, args.size, args.seed))
+            (str(out), names, args.views, args.size, args.seed,
+             args.glb_root))
 
     # obj_poses.npy next to the tree (reference keeps it in data/)
     np.save(out / "obj_poses.npy", poses)

@@ -111,9 +111,33 @@ def procedural_object(rng: np.random.RandomState
 def render_mesh(
     verts: np.ndarray, faces: np.ndarray, colors: np.ndarray,
     extrinsic: np.ndarray, K: np.ndarray, size: int = 512,
+    normals: np.ndarray = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Z-buffer rasterization -> (rgb uint8, depth float meters, mask bool)."""
+    """Z-buffer rasterization -> (rgb uint8, depth float meters, mask bool).
+
+    With `normals` (world-space vertex normals), colors are Lambert-shaded
+    under the reference's camera-fixed light rig (blenderproc.py:21-35; see
+    gd3d/data/glb.py::shade_lambert) — used for real .glb assets where flat
+    vertex colors read as silhouettes. Dispatches to the native C++
+    rasterizer (gd3d_rasterize_mesh) when built; the numpy loop below is the
+    parity fallback.
+    """
     cam = verts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    if normals is not None:
+        from gd3d.data.glb import shade_lambert
+
+        cam_normals = normals @ extrinsic[:3, :3].T
+        colors = shade_lambert(cam, cam_normals, np.asarray(colors, np.float32))
+
+    from gd3d import native_runtime
+
+    native = native_runtime.rasterize_mesh(cam, faces, colors, K, size, size)
+    if native is not None:
+        rgb_f, depth = native
+        mask = np.isfinite(depth)
+        depth = np.where(mask, depth, 0.0)
+        return (np.clip(rgb_f, 0, 1) * 255).astype(np.uint8), depth, mask
+
     z = cam[:, 2]
     uv = cam @ K.T
     uv = uv[:, :2] / np.maximum(uv[:, 2:3], 1e-8)
@@ -169,22 +193,40 @@ def render_object_tree(
     n_views: int = 42,
     size: int = 512,
     seed: int = 0,
+    glb_root: str = None,
 ) -> np.ndarray:
     """Write color_/depth_/mask_%06d.png trees + return the pose array
-    (blenderproc.py layout: depth in mm uint16, mask uint8)."""
+    (blenderproc.py layout: depth in mm uint16, mask uint8).
+
+    With `glb_root`, each name resolves to `<glb_root>/<name>.glb` — the
+    reference's cad_root layout (render_objects.py:33-41) — loaded by
+    gd3d/data/glb.py, unit-box normalized (blenderproc.py:42-59) and
+    Lambert-shaded; otherwise objects are procedural meshes."""
     import cv2
 
     poses = fixed_poses(n_views)
     K = DEFAULT_INTRINSIC * (size / 512.0)
     K[2, 2] = 1.0
     for oi, name in enumerate(obj_names):
-        rng = np.random.RandomState(seed + oi)
-        verts, faces, colors = procedural_object(rng)
-        d = Path(out_dir) / name
+        normals = None
+        if glb_root is not None:
+            from gd3d.data import glb as glb_mod
+
+            path = Path(glb_root) / (
+                name if name.endswith(".glb") else name + ".glb")
+            mesh = glb_mod.load_glb(path)
+            verts = glb_mod.normalize_unit_box(mesh.verts)
+            faces, colors = mesh.faces, mesh.colors
+            normals = glb_mod.vertex_normals(verts, faces)
+        else:
+            rng = np.random.RandomState(seed + oi)
+            verts, faces, colors = procedural_object(rng)
+        # strip only a .glb suffix: names may be nested ("000-000/obj0")
+        d = Path(out_dir) / (name[:-4] if name.endswith(".glb") else name)
         d.mkdir(parents=True, exist_ok=True)
         for i in range(n_views):
             rgb, depth, mask = render_mesh(
-                verts, faces, colors, poses[i], K, size
+                verts, faces, colors, poses[i], K, size, normals=normals
             )
             cv2.imwrite(str(d / f"color_{i:06d}.png"), rgb[..., ::-1])
             cv2.imwrite(

@@ -36,6 +36,9 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.gd3d_u8_to_f32_norm.argtypes = [u8p, i64, i64, f32p, f32p, f32p]
     lib.gd3d_point_cloud_to_depth.argtypes = [f32p, i64, f32p, i64, i64, f32p, i32p]
     lib.gd3d_pad_keypoints.argtypes = [f32p, f32p, u8p, i64, i64, f32p, f32p, u8p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gd3d_rasterize_mesh.argtypes = [
+        f64p, i64, i32p, i64, f32p, f64p, i64, i64, f32p, f32p]
     lib.gd3d_version.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -127,6 +130,30 @@ def _pcd_numpy(points, K, w, h):
     c = np.bincount(idx, minlength=h * w)
     out = np.where(c > 0, s / np.maximum(c, 1), 0.0)
     return out.reshape(h, w).astype(np.float32)
+
+
+def rasterize_mesh(cam_verts: np.ndarray, faces: np.ndarray,
+                   colors: np.ndarray, K: np.ndarray, h: int, w: int
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Z-buffer rasterize camera-space triangles -> (rgb f32 [0,1], depth)
+    with depth=+inf on misses. Returns None when the library is unbuilt
+    (caller falls back to the numpy path in render_synthetic.render_mesh)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    cam_verts = np.ascontiguousarray(cam_verts, np.float64)
+    faces = np.ascontiguousarray(faces, np.int32)
+    colors = np.ascontiguousarray(colors, np.float32)
+    K = np.ascontiguousarray(K, np.float64)
+    rgb = np.zeros((h, w, 3), np.float32)
+    depth = np.full((h, w), np.inf, np.float32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gd3d_rasterize_mesh(
+        cam_verts.ctypes.data_as(f64p), cam_verts.shape[0],
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), faces.shape[0],
+        _fp(colors), K.ctypes.data_as(f64p), h, w, _fp(rgb), _fp(depth),
+    )
+    return rgb, depth
 
 
 def pad_keypoints(kps: np.ndarray, pts3d: np.ndarray, capacity: int,
