@@ -113,46 +113,88 @@ def dense_eval_features(
 
 
 def make_match_fn(student: Student, img_size: int = 640, refine: bool = True,
-                  max_kps: int = 20):
+                  max_kps: int = 20, batch_pairs: int = 8):
     """Build the jitted pair-matching fn (evaluate_timm.py:516-547): one XLA
     program reused across every PF-PASCAL pair (the reference re-dispatches
-    eagerly per pair). Keypoints are padded to max_kps."""
+    eagerly per pair). Keypoints are padded to max_kps.
+
+    The jitted program is BATCHED over `batch_pairs` pairs per dispatch and
+    takes uint8 canvases (normalized on device): on the remote-tunnel TPU
+    the per-pair cost was dominated by the ~40 ms dispatch + 10 MB fp32
+    canvas transfer, not device compute (PERF_NOTES eval section) — batching
+    amortizes the former, u8 quarters the latter. The returned `match`
+    closure keeps the single-pair API; `match.many(params, pairs)` runs a
+    list of (img1_u8, img2_u8, kps1) through full batches."""
     ps = student.cfg.patch_size
 
     @jax.jit
     def fn(params, img1, img2, kps1):
-        d1 = student.dense_grid_features(params, img1, refine=refine)
-        d2 = student.dense_grid_features(params, img2, refine=refine)
+        # (B, S, S, 3) uint8 -> fp32 on device; (B, N, 2) keypoints
+        x1 = img1.astype(jnp.float32) / 255.0
+        x2 = img2.astype(jnp.float32) / 255.0
+        d1 = student.dense_grid_features(params, x1, refine=refine)
+        d2 = student.dense_grid_features(params, x2, refine=refine)
         ds_size = ((img_size - ps) // ps) * ps + 1
-        d2_up = resize_bilinear_ac(d2, (ds_size, ds_size))
+        kp_desc = interpolate_features(
+            d1.transpose(0, 3, 1, 2), kps1,
+            h=img_size, w=img_size, normalize=True, patch_size=ps, stride=ps,
+        )  # (B, C, N)
+        # The reference upsamples the dense target features to 640^2 and
+        # THEN dots (evaluate_timm.py:516-547) — a (B, 640, 640, 768) fp32
+        # intermediate (1.26 GB/pair). Bilinear-resize + edge-pad are
+        # per-channel LINEAR maps, so the keypoint dot commutes through
+        # them: dot on the patch grid first, then upsample the N-channel
+        # similarity map. Identical values up to fp summation order;
+        # 768/N fewer bytes and ~256x fewer MACs in the big contraction.
+        sim_patch = jnp.einsum("bcn,bhwc->bhwn", kp_desc, d2)
+        sim_up = resize_bilinear_ac(sim_patch, (ds_size, ds_size))
         pad_l = ps // 2
         pad_r = img_size - ds_size - pad_l
-        d2_full = jnp.pad(
-            d2_up, ((0, 0), (pad_l, pad_r), (pad_l, pad_r), (0, 0)),
+        sim_full = jnp.pad(
+            sim_up, ((0, 0), (pad_l, pad_r), (pad_l, pad_r), (0, 0)),
             mode="edge",
+        )  # (B, 640, 640, N)
+        sim = sim_full.transpose(0, 3, 1, 2).reshape(
+            kps1.shape[0], kps1.shape[1], -1
         )
-        kp_desc = interpolate_features(
-            d1.transpose(0, 3, 1, 2), kps1[None],
-            h=img_size, w=img_size, normalize=True, patch_size=ps, stride=ps,
-        )  # (1, C, N)
-        sim = jnp.einsum("cn,hwc->nhw", kp_desc[0], d2_full[0]).reshape(
-            kps1.shape[0], -1
-        )
-        nn_idx = jnp.argmax(sim, axis=1)
-        return jnp.stack([nn_idx % img_size, nn_idx // img_size], axis=1)
+        nn_idx = jnp.argmax(sim, axis=-1)
+        return jnp.stack([nn_idx % img_size, nn_idx // img_size], axis=-1)
+
+    def _pad_kps(kps1):
+        pad = max(0, max_kps - kps1.shape[0])
+        kps_p = np.pad(kps1[:, :2].astype(np.float32), ((0, pad), (0, 0)))
+        return kps_p[:max_kps]
 
     def match(params, img1_canvas, img2_canvas, kps1):
         n = kps1.shape[0]
-        pad = max(0, max_kps - n)
-        kps_p = np.pad(kps1[:, :2].astype(np.float32), ((0, pad), (0, 0)))
         out = fn(
             params,
-            jnp.asarray(img1_canvas[None].astype(np.float32) / 255.0),
-            jnp.asarray(img2_canvas[None].astype(np.float32) / 255.0),
-            jnp.asarray(kps_p[:max_kps]),
+            jnp.asarray(img1_canvas[None].astype(np.uint8)),
+            jnp.asarray(img2_canvas[None].astype(np.uint8)),
+            jnp.asarray(_pad_kps(kps1)[None]),
         )
-        return np.asarray(out)[:n]
+        return np.asarray(out)[0, :n]
 
+    def match_many(params, pairs):
+        """pairs: list of (img1_u8, img2_u8, kps1 (n_i, >=2)) -> list of
+        (n_i, 2) predictions. Chunks into `batch_pairs`-sized dispatches,
+        padding the tail chunk by repetition (identical numerics to the
+        per-pair path: batching only stacks independent programs)."""
+        preds = []
+        for lo in range(0, len(pairs), batch_pairs):
+            chunk = pairs[lo: lo + batch_pairs]
+            pad_n = batch_pairs - len(chunk)
+            padded = chunk + [chunk[-1]] * pad_n
+            i1 = np.stack([p[0] for p in padded]).astype(np.uint8)
+            i2 = np.stack([p[1] for p in padded]).astype(np.uint8)
+            kp = np.stack([_pad_kps(p[2]) for p in padded])
+            out = np.asarray(fn(params, jnp.asarray(i1), jnp.asarray(i2),
+                                jnp.asarray(kp)))
+            preds.extend(out[i, : chunk[i][2].shape[0]]
+                         for i in range(len(chunk)))
+        return preds
+
+    match.many = match_many
     return match
 
 
@@ -191,7 +233,7 @@ def semantic_transfer(
         if len(files) < 2:  # category absent from the pair CSV
             continue
         kept.append(cat)
-        gt_all, pred_all = [], []
+        pairs, vis_all, gt_all = [], [], []
         for pair_idx in range(len(files) // 2):
             img1 = resize_to_canvas(
                 Image.open(files[2 * pair_idx]).convert("RGB"), img_size
@@ -202,9 +244,11 @@ def semantic_transfer(
             k1 = kps[2 * pair_idx]
             k2 = kps[2 * pair_idx + 1]
             vis = k1[:, 2] * k2[:, 2] > 0
-            pred = match(params, img1, img2, k1)
+            pairs.append((img1, img2, k1))
+            vis_all.append(vis)
             gt_all.append(k2[vis][:, [1, 0]])
-            pred_all.append(pred[vis][:, [1, 0]])
+        preds = match.many(params, pairs)
+        pred_all = [p[v][:, [1, 0]] for p, v in zip(preds, vis_all)]
         gt = np.concatenate(gt_all, 0)
         pred = np.concatenate(pred_all, 0)
         err = np.linalg.norm(pred - gt, axis=-1)

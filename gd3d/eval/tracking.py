@@ -26,24 +26,36 @@ def video_features(
     params: dict,
     frames: np.ndarray,
     refine: bool = True,
-) -> np.ndarray:
-    """frames (T, H, W, 3) float [0,1] -> (T, gh, gw, C) stride-(patch/2)
-    features (evaluate_timm.py:259-281). One jitted program reused for all
-    frames."""
+    batch_frames: int = 4,
+) -> jnp.ndarray:
+    """frames (T, H, W, 3) float [0,1] or uint8 -> (T, gh, gw, C)
+    stride-(patch/2) features (evaluate_timm.py:259-281). One jitted
+    program reused for all frames, `batch_frames` frames per dispatch
+    (amortizes the ~40 ms tunnel dispatch; the tail batch pads by
+    repetition). uint8 frames normalize ON device (4x fewer transfer
+    bytes — lossless for the PIL-decoded loader path). The result stays
+    DEVICE-resident: infer_tracks consumes it per query-frame set, and
+    returning numpy here cost a T x 19 MB round-trip per set."""
     import jax
 
     ps = student.cfg.patch_size
     stride = ps // 2
     fn = jax.jit(
         lambda p, x: student.dense_grid_features(
-            p, x, stride=stride, refine=refine
+            p,
+            x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x,
+            stride=stride, refine=refine,
         )
     )
+    T = frames.shape[0]
     feats = []
-    for t in range(frames.shape[0]):
-        g = fn(params, jnp.asarray(frames[t : t + 1]))
-        feats.append(np.asarray(g[0]))
-    return np.stack(feats)
+    for lo in range(0, T, batch_frames):
+        chunk = frames[lo: lo + batch_frames]
+        if len(chunk) < batch_frames:  # pad by repetition, slice below
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch_frames - len(chunk), 0)])
+        feats.append(fn(params, jnp.asarray(chunk)))
+    return jnp.concatenate(feats)[:T]
 
 
 def load_video_frames(video_dir: str, h: int, w: int) -> np.ndarray:
@@ -52,7 +64,8 @@ def load_video_frames(video_dir: str, h: int, w: int) -> np.ndarray:
         imgs.append(
             np.asarray(Image.open(fn).resize((w, h), Image.LANCZOS))
         )
-    return np.stack(imgs).astype(np.float32) / 255.0
+    # uint8: video_features normalizes on device (4x fewer tunnel bytes)
+    return np.stack(imgs)
 
 
 def tracking_single(

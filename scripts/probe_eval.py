@@ -65,6 +65,17 @@ def main():
     print(f"PCK pair match (640^2, 2 dense fwd + argmax): {dt * 1e3:.1f} "
           f"ms/pair = {1 / dt:.2f} pairs/s", flush=True)
 
+    # batched dispatch (match.many, 8 pairs/program, u8 canvases): amortizes
+    # the ~40 ms tunnel dispatch + quarters the canvas transfer bytes
+    many = pairs * 4  # 24 pairs = 3 full chunks
+    match.many(params, many[:8])  # compile B=8
+    t0 = time.perf_counter()
+    match.many(params, many)
+    dt_b = (time.perf_counter() - t0) / len(many)
+    print(f"PCK pair match BATCHED (8 pairs/dispatch, u8): "
+          f"{dt_b * 1e3:.1f} ms/pair = {1 / dt_b:.2f} pairs/s "
+          f"({dt / dt_b:.1f}x over per-pair dispatch)", flush=True)
+
     # ---- 2. TAP-Vid tracking ---------------------------------------------
     from gd3d.eval.tracker import (
         TrackerConfig,
@@ -94,6 +105,18 @@ def main():
           f"{dt_frame * 1e3:.1f} ms/frame = {1 / dt_frame:.2f} frames/s",
           flush=True)
 
+    # video_features: 4 frames/dispatch, u8 transfer, device-resident out
+    from gd3d.eval.tracking import video_features
+
+    vid_u8 = rng.randint(0, 255, (T_FRAMES, h, w, 3), np.uint8)
+    video_features(student, params, vid_u8[:8]).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    video_features(student, params, vid_u8).block_until_ready()
+    dt_vid = (time.perf_counter() - t0) / T_FRAMES
+    print(f"tracking video_features BATCHED (4 frames/dispatch, u8, "
+          f"device-resident): {dt_vid * 1e3:.1f} ms/frame "
+          f"({dt_frame / dt_vid:.1f}x over per-frame dispatch)", flush=True)
+
     cfg = TrackerConfig(video_h=h, video_w=w, stride=stride,
                         patch_size=student.cfg.patch_size)
     N_q = 26  # TAP-Vid strided query count ballpark
@@ -118,12 +141,12 @@ def main():
     t0 = time.perf_counter()
     compute_occlusion(trajs, cos, anchors, cfg)
     dt_occ = time.perf_counter() - t0
-    total_video = dt_frame * T_FRAMES + dt_eng + dt_occ
+    total_video = dt_vid * T_FRAMES + dt_eng + dt_occ
     print(f"tracking engine (T={T_FRAMES}, N={N_q}: trajs + cos + T^2 "
           f"anchors): {dt_eng:.2f} s device + {dt_occ * 1e3:.0f} ms host "
           f"occlusion", flush=True)
     print(f"tracking TOTAL ~{total_video:.2f} s/video "
-          f"({T_FRAMES} frames)", flush=True)
+          f"({T_FRAMES} frames, batched features)", flush=True)
 
     # ---- 3. OnePose ------------------------------------------------------
     from gd3d.eval.onepose import frame_descriptors, grid_keypoints, \

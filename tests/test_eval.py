@@ -140,6 +140,64 @@ def test_match_pair_identical_images():
     assert (err < 16).all(), pred
 
 
+def test_match_fn_commuted_sim_matches_reference_order():
+    """The matcher dots on the patch grid then upsamples the similarity
+    (linear maps commute); this pins it against the reference's
+    upsample-features-then-dot order (evaluate_timm.py:516-547)."""
+    from gd3d.eval.pck import make_match_fn
+    from gd3d.models.dpt import resize_bilinear_ac
+    from gd3d.ops.interpolate import interpolate_features
+
+    student = Student(SMALL)
+    params = student.init(jax.random.key(0), img_size=32)
+    rng = np.random.RandomState(4)
+    size, ps = 64, 16
+    img1 = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    img2 = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    kps = (rng.rand(5, 2) * (size - 8) + 4).astype(np.float32)
+
+    match = make_match_fn(student, img_size=size, max_kps=5, batch_pairs=2)
+    pred = match(params, img1, img2, kps)
+
+    # reference order: upsample dense features to size^2, edge-pad, dot
+    d1 = student.dense_grid_features(
+        params, jnp.asarray(img1[None], jnp.float32) / 255.0, refine=True)
+    d2 = student.dense_grid_features(
+        params, jnp.asarray(img2[None], jnp.float32) / 255.0, refine=True)
+    ds = ((size - ps) // ps) * ps + 1
+    d2_up = resize_bilinear_ac(d2, (ds, ds))
+    pad_l = ps // 2
+    d2_full = jnp.pad(
+        d2_up, ((0, 0), (pad_l, size - ds - pad_l),
+                (pad_l, size - ds - pad_l), (0, 0)), mode="edge")
+    kp_desc = interpolate_features(
+        d1.transpose(0, 3, 1, 2), jnp.asarray(kps[None]),
+        h=size, w=size, normalize=True, patch_size=ps, stride=ps)
+    sim = jnp.einsum("cn,hwc->nhw", kp_desc[0], d2_full[0]).reshape(5, -1)
+    nn = np.asarray(jnp.argmax(sim, axis=1))
+    ref = np.stack([nn % size, nn // size], 1)
+    np.testing.assert_array_equal(pred, ref)
+
+
+def test_match_many_matches_single_pair_path():
+    from gd3d.eval.pck import make_match_fn
+
+    student = Student(SMALL)
+    params = student.init(jax.random.key(0), img_size=32)
+    rng = np.random.RandomState(5)
+    pairs = [
+        ((rng.rand(64, 64, 3) * 255).astype(np.uint8),
+         (rng.rand(64, 64, 3) * 255).astype(np.uint8),
+         (rng.rand(3 + i, 2) * 56 + 4).astype(np.float32))
+        for i in range(5)  # 5 pairs -> one full chunk of 2 + padded tail
+    ]
+    match = make_match_fn(student, img_size=64, max_kps=8, batch_pairs=2)
+    many = match.many(params, pairs)
+    for (i1, i2, k), m in zip(pairs, many):
+        np.testing.assert_array_equal(m, match(params, i1, i2, k))
+        assert m.shape == (k.shape[0], 2)
+
+
 def test_mutual_nn_and_pnp():
     rng = np.random.RandomState(3)
     desc_t = rng.randn(50, 16).astype(np.float32)
