@@ -19,3 +19,8 @@ from gd3d.ops.geometry import (
 )
 from gd3d.ops.nms import sample_keypoints_nms
 from gd3d.ops.depth import post_process_depth
+from gd3d.ops.regr3d import (
+    conf_regr3d_loss,
+    normalize_pointcloud,
+    regr3d_loss,
+)
