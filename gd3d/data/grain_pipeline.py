@@ -17,11 +17,19 @@ def make_grain_loader(
     transform: Optional[Callable[[Dict], Dict]] = None,
     worker_count: int = 0,
     epochs: Optional[int] = 1,
+    shard_index: Optional[int] = None,
+    shard_count: Optional[int] = None,
 ):
     """Returns an iterator of collated numpy batches via grain.
 
     dataset: any object with __len__/__getitem__ returning dicts of numpy
     arrays (strings/None values are dropped at collation).
+
+    Multi-host: by default the sampler shards by JAX process (each host
+    reads a disjoint 1/process_count slice per epoch — the per-rank
+    DataLoader of the reference's DDP setup, src/main.py:147-161; a no-op
+    single-process). Pass shard_index/shard_count to override explicitly
+    (also how the unit test exercises it without multiple processes).
     """
     import grain.python as grain
     import numpy as np
@@ -38,12 +46,21 @@ def make_grain_loader(
                 s = transform(s)
             return s
 
+    if shard_index is None or shard_count is None:
+        import jax
+
+        shard_index = jax.process_index()
+        shard_count = jax.process_count()
+    shard = (grain.NoSharding() if shard_count == 1 else
+             grain.ShardOptions(shard_index=shard_index,
+                                shard_count=shard_count,
+                                drop_remainder=True))
     sampler = grain.IndexSampler(
         num_records=len(dataset),
         shuffle=True,
         seed=seed,
         num_epochs=epochs,
-        shard_options=grain.NoSharding(),
+        shard_options=shard,
     )
     loader = grain.DataLoader(
         data_source=_Source(),

@@ -108,6 +108,16 @@ class PrefetchLoader:
         self.steps = steps_per_epoch or (len(dataset) // batch_size)
         self.prefetch = prefetch
         self.transform = transform
+        # per-host stream: offset the seed by the JAX process index so each
+        # host of a multi-process mesh draws distinct samples (the per-rank
+        # DataLoader behavior, reference src/main.py:147-161); identical to
+        # `seed` in single-process runs
+        try:
+            import jax
+
+            seed = seed + 100_003 * jax.process_index()
+        except Exception:
+            pass
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):

@@ -43,3 +43,22 @@ def test_grain_loader():
     assert len(batches) == 5
     assert batches[0]["x"].shape == (2, 3)
     assert "name" not in batches[0]
+
+
+def test_grain_loader_process_sharding():
+    """Multi-host sharding: explicit shard_index/count yields disjoint,
+    jointly-complete coverage (the per-rank DataLoader analogue)."""
+    pytest.importorskip("grain")
+    from gd3d.data.grain_pipeline import make_grain_loader
+
+    data = [
+        {"x": np.full((1,), i, np.float32)} for i in range(12)
+    ]
+    seen = []
+    for rank in range(3):
+        it = make_grain_loader(data, batch_size=1, seed=0, epochs=1,
+                               shard_index=rank, shard_count=3)
+        seen.append({int(b["x"][0, 0]) for b in it})
+    assert all(len(s) == 4 for s in seen)
+    assert seen[0] | seen[1] | seen[2] == set(range(12))
+    assert not (seen[0] & seen[1] or seen[0] & seen[2] or seen[1] & seen[2])
