@@ -60,6 +60,16 @@ def parse_args(argv=None):
                    help="grain worker processes for the host pipeline "
                         "(0 = threaded prefetch only; the reference uses 10 "
                         "DataLoader workers, finetune_timm_mast3r.py:232-240)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before backend "
+                        "init: one process per TPU host of a pod slice, "
+                        "coordinator/process env via the standard JAX "
+                        "cluster autodetection. The mesh then spans every "
+                        "chip of the slice, batches shard per-process "
+                        "(grain ShardOptions / PrefetchLoader seed offset), "
+                        "and gradient all-reduce rides ICI - the reference's "
+                        "DDP multi-node story (src/main.py:147-161) without "
+                        "NCCL/torchrun")
     return p.parse_args(argv)
 
 
@@ -79,6 +89,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if args.multihost:
+        # must run before first backend use; no-op coordination in a
+        # single-process launch is an error, so only behind the flag
+        jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     tb_writer = None
@@ -118,7 +132,11 @@ def main(argv=None):
     epochs = 1 if args.dev else cfg.train.max_epochs
     steps = 2 if args.dev else args.steps_per_epoch
 
+    is_main = jax.process_index() == 0
     out_dir = Path(args.output or f"outputs/{args.config}/{time.strftime('%Y%m%d_%H%M%S')}")
+    if not is_main:
+        # per-process metric streams; checkpoints are main-process-only
+        out_dir = out_dir / f"proc{jax.process_index()}"
     out_dir.mkdir(parents=True, exist_ok=True)
     metrics_path = out_dir / "metrics.jsonl"
     if args.tensorboard:
@@ -380,7 +398,7 @@ def main(argv=None):
             means["epoch/wall_s"] = round(epoch_wall, 4)
             mf.write(json.dumps(means) + "\n")
             mf.flush()
-            if (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
+            if is_main and (epoch + 1) % cfg.train.ckpt_every_epochs == 0:
                 # adapter-only checkpoint (reference layout parity artifact)
                 save_checkpoint(str(out_dir / f"ckpt_epoch_{epoch + 1:04d}"),
                                 jax.device_get(state.trainable))
