@@ -162,17 +162,19 @@ def regr3d_pointmaps(
     shift-centered (median z) and scale-normalized (median norm).
 
     Returns (gt_pts1, gt_pts2, pr_pts1, pr_pts2, valid1, valid2)."""
-    in_cam1 = inv_pose(gt1["camera_pose"])
-    gt_pts1 = geotrf(in_cam1, gt1["pts3d"])
-    gt_pts2 = geotrf(in_cam1, gt2["pts3d"])
-    valid1 = gt1["valid_mask"]
-    valid2 = gt2["valid_mask"]
+    in_cam1 = inv_pose(jnp.asarray(gt1["camera_pose"]))
+    gt_pts1 = geotrf(in_cam1, jnp.asarray(gt1["pts3d"]))
+    gt_pts2 = geotrf(in_cam1, jnp.asarray(gt2["pts3d"]))
+    valid1 = jnp.asarray(gt1["valid_mask"])
+    valid2 = jnp.asarray(gt2["valid_mask"])
     if dist_clip is not None:
         valid1 = valid1 & (jnp.linalg.norm(gt_pts1, axis=-1) <= dist_clip)
         valid2 = valid2 & (jnp.linalg.norm(gt_pts2, axis=-1) <= dist_clip)
 
-    pr_pts1 = get_pred_pts3d(pred1, use_pose=False)
-    pr_pts2 = get_pred_pts3d(pred2, use_pose=True)
+    # jnp coercion matters: numpy inputs would reach the .at[] updates below
+    # when norm_mode is None (numpy has no .at)
+    pr_pts1 = jnp.asarray(get_pred_pts3d(pred1, use_pose=False))
+    pr_pts2 = jnp.asarray(get_pred_pts3d(pred2, use_pose=True))
 
     if norm_mode:
         pr_pts1, pr_pts2, _ = normalize_pointcloud(

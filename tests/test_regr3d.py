@@ -97,6 +97,7 @@ def test_conf_regr3d_matches_reference(norm_mode, gt_scale):
 
 @pytest.mark.parametrize("variant,kwargs", [
     ("Regr3D_ShiftInv", dict(shift_inv=True)),
+    ("Regr3D_ShiftInv", dict(shift_inv=True, norm_mode=None)),
     ("Regr3D_ScaleInv", dict(scale_inv=True)),
     ("Regr3D_ScaleShiftInv", dict(shift_inv=True, scale_inv=True)),
 ])
@@ -107,13 +108,15 @@ def test_invariant_variants_match_reference(variant, kwargs):
     from gd3d.ops.regr3d import conf_regr3d_loss
 
     gt1, gt2, pred1, pred2 = _rand_views(seed=2)
+    kwargs = dict(kwargs)
+    norm_mode = kwargs.pop("norm_mode", "avg_dis")
     ref_cls = getattr(ref_losses, variant)
     ref_loss, _ = _ref_loss(
-        ref_losses.ConfLoss(ref_cls(ref_losses.L21, norm_mode="avg_dis"),
+        ref_losses.ConfLoss(ref_cls(ref_losses.L21, norm_mode=norm_mode),
                             alpha=0.2),
         gt1, gt2, pred1, pred2)
     got, _ = conf_regr3d_loss(gt1, gt2, pred1, pred2, alpha=0.2,
-                              norm_mode="avg_dis", **kwargs)
+                              norm_mode=norm_mode, **kwargs)
     np.testing.assert_allclose(float(got), float(ref_loss), rtol=2e-5)
 
 
