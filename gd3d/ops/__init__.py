@@ -24,3 +24,8 @@ from gd3d.ops.regr3d import (
     normalize_pointcloud,
     regr3d_loss,
 )
+from gd3d.ops.matching_loss import (
+    blockwise_infonce,
+    conf_matching_loss,
+    infonce_loss,
+)
