@@ -266,3 +266,129 @@ def conf_regr3d_loss(
         "Regr3D_pts3d_2": masked_mean(l2, valid2),
     }
     return cl1 + cl2, details
+
+
+# ------------------------------------------- MASt3R fork of the criterion
+def apply_log_to_norm(xyz: Array) -> Array:
+    """Log-warp point norms (mast3r/losses.py:20-24): direction preserved,
+    |p| -> log1p(|p|)."""
+    d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    return xyz / jnp.clip(d, 1e-8) * jnp.log1p(d)
+
+
+def mast3r_regr3d_maps(
+    gt1, gt2, pred1, pred2,
+    norm_mode: str = "?avg_dis",
+    gt_scale: bool = False,
+    dist_clip: Optional[float] = None,
+    sky_loss_value: float = 2.0,
+    max_metric_scale: float = 0.0,
+    loss_in_log=False,
+) -> Tuple[Array, Array, Array, Array]:
+    """The MASt3R fork of Regr3D (mast3r/losses.py:27-137), per-pixel form.
+
+    Differences from the DUSt3R base, all mirrored here:
+      - a leading '?' in norm_mode exempts metric-scale samples
+        (gt1['is_metric_scale'] (B,)) from prediction self-normalization:
+        their predictions are divided by the GT norm factor instead, so the
+        model learns true metric scale on metric datasets (:69-97)
+      - max_metric_scale demotes metric samples whose farthest valid GT
+        point exceeds the threshold (:68-82)
+      - sky pixels (gt['sky_mask'] & ~valid) join the loss mask with a
+        CONSTANT loss value sky_loss_value (:101-135), supervising conf
+      - loss_in_log: 'before' log-warps GT before normalization (linear
+        depth_mode); truthy-else log-warps both maps before the L21
+        (:61-63, :122-131)
+
+    Returns (l1_map, l2_map, mask1, mask2): masks include sky pixels and
+    the maps already carry sky_loss_value there; masked means over them
+    reproduce the reference's selected-pixel reductions."""
+    in_cam1 = inv_pose(jnp.asarray(gt1["camera_pose"]))
+    gt_pts1 = geotrf(in_cam1, jnp.asarray(gt1["pts3d"]))
+    gt_pts2 = geotrf(in_cam1, jnp.asarray(gt2["pts3d"]))
+    valid1 = jnp.asarray(gt1["valid_mask"])
+    valid2 = jnp.asarray(gt2["valid_mask"])
+    if dist_clip is not None:
+        valid1 = valid1 & (jnp.linalg.norm(gt_pts1, axis=-1) <= dist_clip)
+        valid2 = valid2 & (jnp.linalg.norm(gt_pts2, axis=-1) <= dist_clip)
+
+    norm_all = not norm_mode.startswith("?")
+    mode = norm_mode.lstrip("?")
+
+    if loss_in_log == "before":
+        gt_pts1 = apply_log_to_norm(gt_pts1)
+        gt_pts2 = apply_log_to_norm(gt_pts2)
+
+    pr_pts1 = jnp.asarray(get_pred_pts3d(pred1, use_pose=False))
+    pr_pts2 = jnp.asarray(get_pred_pts3d(pred2, use_pose=True))
+
+    B = valid1.shape[0]
+    if norm_all:
+        norm_sel = jnp.ones((B,), bool)
+    else:
+        is_metric = jnp.asarray(gt1["is_metric_scale"])
+        if max_metric_scale:
+            d1 = jnp.where(valid1, jnp.linalg.norm(gt_pts1, axis=-1),
+                           0.0).reshape(B, -1)
+            d2 = jnp.where(valid2, jnp.linalg.norm(gt_pts2, axis=-1),
+                           0.0).reshape(B, -1)
+            is_metric = (is_metric & (d1.max(axis=-1) < max_metric_scale)
+                         & (d2.max(axis=-1) < max_metric_scale))
+        norm_sel = ~is_metric
+
+    if mode:
+        # per-sample factors: computing on the full batch and selecting
+        # rows equals the reference's subset normalization (:88-97)
+        n1, n2, pr_f = normalize_pointcloud(pr_pts1, pr_pts2, mode,
+                                            valid1, valid2)
+        sel = norm_sel[:, None, None, None]
+        pr_pts1 = jnp.where(sel, n1, pr_pts1)
+        pr_pts2 = jnp.where(sel, n2, pr_pts2)
+        if not gt_scale:
+            gt_pts1, gt_pts2, gt_f = normalize_pointcloud(
+                gt_pts1, gt_pts2, mode, valid1, valid2)
+            gt_f4 = gt_f[:, None, None, None]
+            pr_pts1 = jnp.where(sel, pr_pts1, pr_pts1 / gt_f4)
+            pr_pts2 = jnp.where(sel, pr_pts2, pr_pts2 / gt_f4)
+
+    if loss_in_log and loss_in_log != "before":
+        pr_pts1, gt_pts1 = apply_log_to_norm(pr_pts1), apply_log_to_norm(gt_pts1)
+        pr_pts2, gt_pts2 = apply_log_to_norm(pr_pts2), apply_log_to_norm(gt_pts2)
+
+    l1 = jnp.linalg.norm(pr_pts1 - gt_pts1, axis=-1)
+    l2 = jnp.linalg.norm(pr_pts2 - gt_pts2, axis=-1)
+    mask1, mask2 = valid1, valid2
+    if sky_loss_value > 0:
+        sky1 = jnp.asarray(gt1["sky_mask"]) & ~valid1
+        sky2 = jnp.asarray(gt2["sky_mask"]) & ~valid2
+        mask1 = valid1 | sky1
+        mask2 = valid2 | sky2
+        l1 = jnp.where(sky1, sky_loss_value, l1)
+        l2 = jnp.where(sky2, sky_loss_value, l2)
+    return l1, l2, mask1, mask2
+
+
+def mast3r_conf_regr3d_loss(
+    gt1, gt2, pred1, pred2,
+    alpha: float = 0.2,
+    norm_mode: str = "?avg_dis",
+    gt_scale: bool = False,
+    dist_clip: Optional[float] = None,
+    sky_loss_value: float = 2.0,
+    max_metric_scale: float = 0.0,
+    loss_in_log=False,
+) -> Tuple[Array, Dict[str, Array]]:
+    """ConfLoss(mast3r Regr3D(L21, '?avg_dis'), alpha=0.2) — the MASt3R
+    pretraining regression term (their train recipe pairs it with
+    ConfMatchingLoss, see gd3d/ops/matching_loss.py)."""
+    l1, l2, mask1, mask2 = mast3r_regr3d_maps(
+        gt1, gt2, pred1, pred2, norm_mode, gt_scale, dist_clip,
+        sky_loss_value, max_metric_scale, loss_in_log)
+    c1, c2 = pred1["conf"], pred2["conf"]
+    cl1 = masked_mean(l1 * c1 - alpha * jnp.log(c1), mask1)
+    cl2 = masked_mean(l2 * c2 - alpha * jnp.log(c2), mask2)
+    return cl1 + cl2, {
+        "conf_loss_1": cl1, "conf_loss2": cl2,
+        "Regr3D_pts3d_1": masked_mean(l1, mask1),
+        "Regr3D_pts3d_2": masked_mean(l2, mask2),
+    }

@@ -148,6 +148,48 @@ def test_regr3d_dist_clip_and_plain_criterion():
     np.testing.assert_allclose(got2, float(ref_l2), rtol=2e-5)
 
 
+def _mast3r_views(seed=0, B=2, H=8, W=12, metric=(True, False)):
+    gt1, gt2, pred1, pred2 = _rand_views(seed=seed, B=B, H=H, W=W)
+    rng = np.random.RandomState(seed + 100)
+    for gt in (gt1, gt2):
+        gt["sky_mask"] = rng.rand(B, H, W) > 0.7
+    gt1["is_metric_scale"] = np.asarray(metric[:B])
+    gt2["is_metric_scale"] = gt1["is_metric_scale"].copy()
+    return gt1, gt2, pred1, pred2
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(norm_mode="?avg_dis"),
+    dict(norm_mode="avg_dis"),
+    dict(norm_mode="?avg_dis", max_metric_scale=3.0),
+    dict(norm_mode="?avg_dis", loss_in_log=True),
+    dict(norm_mode="?avg_dis", loss_in_log="before"),
+    dict(norm_mode="?avg_dis", sky_loss_value=0.0),
+])
+def test_mast3r_conf_regr3d_matches_reference(kwargs):
+    """Reference-direct vs the actual mast3r.losses fork of Regr3D
+    (metric-scale opt-out, sky-mask loss, log warps) under ConfLoss."""
+    _ref_paths()
+    import mast3r.losses as ml
+    from dust3r.losses import L21
+
+    from gd3d.ops.regr3d import mast3r_conf_regr3d_loss
+
+    gt1, gt2, pred1, pred2 = _mast3r_views(seed=6)
+    ref = ml.ConfLoss(
+        ml.Regr3D(L21, norm_mode=kwargs.get("norm_mode", "?avg_dis"),
+                  sky_loss_value=kwargs.get("sky_loss_value", 2.0),
+                  max_metric_scale=kwargs.get("max_metric_scale", False),
+                  loss_in_log=kwargs.get("loss_in_log", False)),
+        alpha=0.2)
+    with torch.no_grad():
+        ref_val, _ = ref(_to_torch(gt1), _to_torch(gt2), _to_torch(pred1),
+                         _to_torch(pred2))
+    got, _ = mast3r_conf_regr3d_loss(gt1, gt2, pred1, pred2, alpha=0.2,
+                                     **kwargs)
+    np.testing.assert_allclose(float(got), float(ref_val), rtol=3e-5)
+
+
 def test_zero_valid_pixels_returns_zero():
     from gd3d.ops.regr3d import conf_regr3d_loss
 
