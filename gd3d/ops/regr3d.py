@@ -268,6 +268,64 @@ def conf_regr3d_loss(
     return cl1 + cl2, details
 
 
+def find_opt_scaling(
+    gt_pts1: Array, gt_pts2: Optional[Array],
+    pr_pts1: Array, pr_pts2: Optional[Array] = None,
+    fit_mode: str = "weiszfeld_stop_grad",
+    valid1: Optional[Array] = None, valid2: Optional[Array] = None,
+) -> Array:
+    """Per-sample scale s minimizing |pr - s*gt| (dust3r/inference.py:
+    125-169): 'avg' closed form, 'median' of per-point ratios, or
+    'weiszfeld' IRLS (10 fixed iterations — a lax.fori-free static loop).
+    Masked means/medians replace the reference's NaN-poisoning; *_stop_grad
+    detaches, and the result clips at 1e-3 as the reference does."""
+    B = gt_pts1.shape[0]
+
+    def flat(p, v, like):
+        if p is None:
+            return None, None
+        p = jnp.asarray(p).reshape(B, -1, 3)
+        if v is None:
+            m = jnp.ones(p.shape[:2], bool)
+        else:
+            m = jnp.asarray(v).reshape(B, -1)
+        return p, m
+
+    g1, m1 = flat(gt_pts1, valid1, None)
+    g2, m2 = flat(gt_pts2, valid2, None)
+    p1, _ = flat(pr_pts1, None, None)
+    p2, _ = flat(pr_pts2, None, None)
+    if g2 is not None:
+        gt = jnp.concatenate([g1, g2], axis=1)
+        pr = jnp.concatenate([p1, p2], axis=1)
+        m = jnp.concatenate([m1, m2], axis=1)
+    else:
+        gt, pr, m = g1, p1, m1
+
+    dot_gt_pr = (pr * gt).sum(axis=-1)
+    dot_gt_gt = (gt ** 2).sum(axis=-1)
+
+    def mmean(x):
+        n = m.sum(axis=1)
+        return jnp.where(m, x, 0.0).sum(axis=1) / jnp.maximum(n, 1)
+
+    if fit_mode.startswith("avg"):
+        scaling = mmean(dot_gt_pr) / mmean(dot_gt_gt)
+    elif fit_mode.startswith("median"):
+        scaling = masked_median(dot_gt_pr / jnp.clip(dot_gt_gt, 1e-12), m)
+    elif fit_mode.startswith("weiszfeld"):
+        scaling = mmean(dot_gt_pr) / mmean(dot_gt_gt)
+        for _ in range(10):
+            dis = jnp.linalg.norm(pr - scaling[:, None, None] * gt, axis=-1)
+            w = 1.0 / jnp.clip(dis, 1e-8)
+            scaling = mmean(w * dot_gt_pr) / mmean(w * dot_gt_gt)
+    else:
+        raise ValueError(f"bad fit_mode {fit_mode!r}")
+    if fit_mode.endswith("stop_grad"):
+        scaling = jax.lax.stop_gradient(scaling)
+    return jnp.clip(scaling, 1e-3)
+
+
 # ------------------------------------------- MASt3R fork of the criterion
 def apply_log_to_norm(xyz: Array) -> Array:
     """Log-warp point norms (mast3r/losses.py:20-24): direction preserved,

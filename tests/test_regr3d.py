@@ -200,6 +200,32 @@ def test_zero_valid_pixels_returns_zero():
     assert float(loss) == 0.0 and np.isfinite(float(loss))
 
 
+@pytest.mark.parametrize("fit_mode", ["avg", "median",
+                                      "weiszfeld_stop_grad"])
+def test_find_opt_scaling_matches_reference(fit_mode):
+    _ref_paths()
+    from dust3r.inference import find_opt_scaling as ref_fn
+
+    from gd3d.ops.regr3d import find_opt_scaling
+
+    rng = np.random.RandomState(7)
+    B, H, W = 2, 6, 8
+    gt1 = (rng.randn(B, H, W, 3) * 0.3 + [0, 0, 2]).astype(np.float32)
+    gt2 = (rng.randn(B, H, W, 3) * 0.3 + [0, 0, 2]).astype(np.float32)
+    pr1 = gt1 * 1.7 + rng.randn(B, H, W, 3).astype(np.float32) * 0.05
+    pr2 = gt2 * 1.7 + rng.randn(B, H, W, 3).astype(np.float32) * 0.05
+    v1 = rng.rand(B, H, W) > 0.2
+    v2 = rng.rand(B, H, W) > 0.2
+    with torch.no_grad():
+        t = torch.from_numpy
+        ref = ref_fn(t(gt1), t(gt2), t(pr1), t(pr2), fit_mode=fit_mode,
+                     valid1=t(v1), valid2=t(v2))
+    got = find_opt_scaling(gt1, gt2, pr1, pr2, fit_mode=fit_mode,
+                           valid1=v1, valid2=v2)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=2e-5)
+    assert np.all(np.abs(np.asarray(got) - 1.7) < 0.1)
+
+
 def test_conf_regr3d_is_jittable_and_differentiable():
     import jax
     import jax.numpy as jnp
