@@ -1,0 +1,126 @@
+"""gd3d-pretrain: DUSt3R/MASt3R-style two-view pretraining driver.
+
+The reference vendors the pretraining criteria and datasets but strips the
+driver (SURVEY row 31); this CLI closes the loop on gd3d's side: the
+synthetic renderer supplies dense-GT pairs (gd3d/data/pretrain_pairs.py)
+and the composed ConfLoss(Regr3D) + ConfMatchingLoss objective runs as one
+jitted program (gd3d/distill/pretrain.py). Swap `make_batch` for a real
+dataset (same dict layout) to pretrain on real data.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Pretrain a Mast3r two-view model (regression + "
+                    "matching objective) on synthetic dense-GT pairs")
+    p.add_argument("--output", required=True)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--img", type=int, default=224)
+    p.add_argument("--corres", type=int, default=256,
+                   help="padded correspondences per pair")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--matching-weight", type=float, default=0.075)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device); "
+                        "--batch must be divisible by it")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model + tiny shapes (CI smoke)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this image pins "
+                        "jax_platforms, so the env var is not enough)")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="save params every N steps (0 = final only)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    from gd3d.data.pretrain_pairs import synthetic_pretrain_batch
+    from gd3d.distill.pretrain import build_mast3r_pretrain_step
+    from gd3d.models.croco import CrocoConfig
+    from gd3d.models.mast3r import Mast3r, Mast3rConfig
+
+    if args.tiny:
+        args.img = min(args.img, 64)
+        cfg = Mast3rConfig(
+            croco=CrocoConfig(patch_size=16, enc_embed_dim=32, enc_depth=2,
+                              enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
+                              dec_num_heads=2),
+            local_feat_dim=6, dpt_feature_dim=32, dpt_last_dim=16)
+    else:
+        cfg = Mast3rConfig()
+    model = Mast3r(cfg)
+
+    batch = synthetic_pretrain_batch(args.seed, args.batch, args.img,
+                                     args.corres)
+    # jit the init: eager flax init dispatches every param-init op
+    # separately (~40 ms each through the axon tunnel — see PERF_NOTES)
+    params = jax.jit(model.init)(jax.random.key(args.seed), batch["img1"],
+                                 batch["img2"])["params"]
+    tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
+                     optax.adamw(args.lr))
+    opt_state = tx.init(params)
+
+    mesh = None
+    shard = lambda b: b  # noqa: E731
+    if args.mesh:
+        from gd3d.core.mesh import make_mesh, replicated, shard_batch
+        if args.batch % args.mesh:
+            raise SystemExit(f"--batch {args.batch} not divisible by "
+                             f"--mesh {args.mesh}")
+        mesh = make_mesh(n_data=args.mesh)
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        shard = lambda b: shard_batch(mesh, b)  # noqa: E731
+    step = build_mast3r_pretrain_step(
+        model, tx, loss_kwargs={"matching_weight": args.matching_weight},
+        mesh=mesh)
+
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    with open(out_dir / "metrics.jsonl", "a") as mf:
+        for s in range(args.steps):
+            batch = shard(synthetic_pretrain_batch(
+                args.seed + s + 1, args.batch, args.img, args.corres))
+            params, opt_state, metrics = step(params, opt_state, batch)
+            rec = {"step": s,
+                   **{k: round(float(v), 5) for k, v in metrics.items()}}
+            mf.write(json.dumps(rec) + "\n")
+            if s == 0 or (s + 1) % 10 == 0:
+                print(f"step {s}: loss={rec['loss']:.4f} "
+                      f"regr={rec['regr3d']:.4f} "
+                      f"match={rec['matching']:.4f} "
+                      f"({time.perf_counter() - t0:.1f}s)", flush=True)
+            if args.ckpt_every and (s + 1) % args.ckpt_every == 0:
+                _save(out_dir / f"params_{s + 1:06d}.npz", params)
+    _save(out_dir / "params_final.npz", params)
+    print(f"pretraining finished -> {out_dir}")
+
+
+def _save(path, params) -> None:
+    from flax.traverse_util import flatten_dict
+
+    np.savez(path, **{"/".join(k): np.asarray(v)
+                      for k, v in flatten_dict(params).items()})
+
+
+if __name__ == "__main__":
+    main()

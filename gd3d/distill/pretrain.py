@@ -83,13 +83,21 @@ def pretrain_loss(
 def build_mast3r_pretrain_step(
     model, tx,
     loss_kwargs: Optional[Dict[str, Any]] = None,
+    mesh=None,
 ):
     """Returns jitted `step(params, opt_state, batch) -> (params,
     opt_state, metrics)` running the full fwd/bwd + optimizer update as
-    one XLA program. `tx` is any optax transform."""
+    one XLA program. `tx` is any optax transform.
+
+    With `mesh` (a jax.sharding.Mesh from gd3d.core.mesh.make_mesh) the
+    step is data-parallel: params/opt_state replicated, the batch sharded
+    over the `data` axis, gradient all-reduce inserted by XLA over ICI —
+    the same DP regime as the distillation trainers (the reference scales
+    pretraining with Lightning DDP; this is the mesh equivalent).
+    Callers shard batches with gd3d.core.mesh.shard_batch.
+    """
     kw = dict(loss_kwargs or {})
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
         (loss, details), grads = jax.value_and_grad(
             lambda p: pretrain_loss(model, p, batch, **kw), has_aux=True
@@ -98,4 +106,16 @@ def build_mast3r_pretrain_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, details
 
-    return step
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gd3d.core.mesh import DATA_AXIS
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, NamedSharding(mesh, P(DATA_AXIS))),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1))

@@ -54,6 +54,91 @@ def _batch(B=1, H=64, W=96, N=24, seed=0):
     }
 
 
+def test_synthetic_pretrain_batch_geometry():
+    """Dense GT is 3D-consistent: valid pixels of both views unproject to
+    the SAME world-frame object surface, and correspondences land on
+    nearby world points."""
+    from gd3d.data.pretrain_pairs import synthetic_pretrain_batch
+
+    b = synthetic_pretrain_batch(seed=1, batch=2, img=64, n_corres=32)
+    assert b["img1"].shape == (2, 64, 64, 3)
+    assert b["img1"].min() >= -1 and b["img1"].max() <= 1
+    g1, g2 = b["gt1"], b["gt2"]
+    assert g1["pts3d"].shape == (2, 64, 64, 3)
+    # camera_pose is cam2world: unprojected points must sit near origin
+    # (objects are centered there by the renderer)
+    for g in (g1, g2):
+        m = g["valid_mask"]
+        assert m.any()
+        pts = g["pts3d"][m]
+        assert np.abs(pts).max() < 1.0, "world points should hug the object"
+        # sky is exactly the complement of valid
+        np.testing.assert_array_equal(g["sky_mask"], ~g["valid_mask"])
+    # valid correspondences: both views' pixels unproject to ~the same
+    # world point (same mesh vertex seen from two cameras)
+    vc = g1["valid_corres"]
+    assert vc.any()
+    for bi in range(2):
+        c1 = g1["corres"][bi][vc[bi]]
+        c2 = g2["corres"][bi][vc[bi]]
+        w1 = g1["pts3d"][bi][c1[:, 1], c1[:, 0]]
+        w2 = g2["pts3d"][bi][c2[:, 1], c2[:, 0]]
+        d = np.linalg.norm(w1 - w2, axis=-1)
+        assert np.median(d) < 0.05, d
+
+
+def test_pretrain_cli_smoke(tmp_path):
+    import json
+
+    from gd3d.cli.pretrain import main
+
+    main(["--output", str(tmp_path / "run"), "--steps", "2", "--tiny",
+          "--img", "64", "--corres", "16"])
+    lines = [json.loads(l) for l in
+             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
+    assert (tmp_path / "run" / "params_final.npz").exists()
+
+
+def test_pretrain_step_dp_mesh_matches_single_device():
+    """DP over the 8-device CPU mesh reproduces the single-device step:
+    params/opt_state replicated, batch sharded on `data`, XLA inserts the
+    gradient all-reduce."""
+    from gd3d.core.mesh import make_mesh, replicated, shard_batch
+    from gd3d.distill.pretrain import build_mast3r_pretrain_step
+
+    cfg = Mast3rConfig(croco=TINY, local_feat_dim=6, dpt_feature_dim=32,
+                       dpt_last_dim=16)
+    model = Mast3r(cfg)
+    batch = _batch(B=8, H=32, W=32, N=8, seed=3)
+    params = model.init(jax.random.key(0), batch["img1"],
+                        batch["img2"])["params"]
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    params_r = jax.device_put(params, replicated(mesh))
+    opt_r = jax.device_put(opt_state, replicated(mesh))
+
+    # the step donates its inputs, and device_put ALIASES the device-0
+    # shard — give the single-device run its own buffers
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    p1, o1, m1 = build_mast3r_pretrain_step(model, tx)(
+        copy(params), copy(opt_state), batch)
+    step = build_mast3r_pretrain_step(model, tx, mesh=mesh)
+    p2, o2, m2 = step(params_r, opt_r, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        # reduction-order noise through adamw's rsqrt: measured max
+        # 1.4e-5 abs / 0.23% rel on 8 of 5.3M elements
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=3e-5)
+
+
 @pytest.mark.slow
 def test_pretrain_step_optimizes():
     from gd3d.distill.pretrain import build_mast3r_pretrain_step
