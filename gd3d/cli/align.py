@@ -32,10 +32,14 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--schedule", choices=("cosine", "linear"),
                    default="cosine")
-    p.add_argument("--pairs", choices=("complete", "sliding"),
-                   default="complete",
-                   help="pair graph: complete (make_pairs default) or "
-                        "sliding window of width 3")
+    p.add_argument("--pairs", default="complete",
+                   help="scene graph (dust3r make_pairs strategies): "
+                        "complete | swin-W[-noncyclic] | "
+                        "logwin-W[-noncyclic] | oneref-R; 'sliding' is an "
+                        "alias for swin-2-noncyclic")
+    p.add_argument("--pair-filter", default=None, metavar="seqN|cycN",
+                   help="drop edges more than N frames apart "
+                        "(cyclic distance with cycN)")
     p.add_argument("--sparse", type=int, default=-1, metavar="K",
                    help="optimize only the top-K most confident anchor "
                         "pixels per image (MASt3R sparse-GA analogue; "
@@ -111,11 +115,13 @@ def main(argv=None) -> None:
             jax.random.key(0), hw=tuple(images.shape[1:3]))
 
     n = images.shape[0]
-    if args.pairs == "sliding":
-        pairs = [(i, j) for i in range(n) for j in range(n)
-                 if i != j and abs(i - j) <= 2]
+    from gd3d.data.scene_graph import make_pair_indices
+
+    graph = "swin-2-noncyclic" if args.pairs == "sliding" else args.pairs
+    if graph == "complete" and args.pair_filter is None:
+        pairs = None  # scene_from_mast3r's complete-graph fast path
     else:
-        pairs = None  # complete graph
+        pairs = make_pair_indices(n, graph, prefilter=args.pair_filter)
     scene = scene_from_mast3r(teacher, params, images, pairs=pairs)
     sparse_k = args.sparse
     if sparse_k < 0:  # auto: dense only for small scenes

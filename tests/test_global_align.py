@@ -207,10 +207,12 @@ def test_align_cli_smoke(tmp_path):
     header = (out / "pointcloud.ply").read_text().splitlines()[:3]
     assert header[0] == "ply"
 
-    # sparse-anchor variant: same flow, top-K pixels only
+    # sparse-anchor variant: same flow, top-K pixels only; swin graph +
+    # seq prefilter exercise the scene-graph strategies through the CLI
     out_s = tmp_path / "scene_sparse"
     main(["--images", *map(str, imgs), "--output", str(out_s), "--tiny",
-          "--size", "224", "--niter", "5", "--pairs", "sliding", "--ply",
+          "--size", "224", "--niter", "5", "--pairs", "swin-2",
+          "--pair-filter", "seq1", "--ply",
           "--min-conf", "0.0", "--sparse", "64"])
     zs = np.load(out_s / "scene.npz")
     assert zs["depthmaps"].shape == (n, 64)
