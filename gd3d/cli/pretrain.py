@@ -96,7 +96,9 @@ def main(argv=None) -> None:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
-    with open(out_dir / "metrics.jsonl", "a") as mf:
+    # truncate: there is no resume, so appending to a previous run's
+    # metrics would interleave two step-0.. streams
+    with open(out_dir / "metrics.jsonl", "w") as mf:
         for s in range(args.steps):
             batch = shard(synthetic_pretrain_batch(
                 args.seed + s + 1, args.batch, args.img, args.corres))

@@ -71,6 +71,9 @@ def make_pair_indices(
         pairs.extend(pairsid)
     elif scene_graph.startswith("oneref"):
         refid = int(scene_graph.split("-")[1]) if "-" in scene_graph else 0
+        if not 0 <= refid < n:
+            raise ValueError(
+                f"oneref reference image {refid} out of range for {n} images")
         for j in range(n):
             if j != refid:
                 pairs.append((refid, j))
@@ -80,6 +83,8 @@ def make_pair_indices(
     if symmetrize:
         pairs = pairs + [(j, i) for i, j in pairs]
 
+    if not pairs:
+        return pairs
     if isinstance(prefilter, str) and prefilter.startswith(("seq", "cyc")):
         cyclic = prefilter.startswith("cyc")
         thr = int(prefilter[3:])

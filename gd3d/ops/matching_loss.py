@@ -220,10 +220,15 @@ def conf_matching_loss(
         # "negatives" are the invalid rows of the same gather
         big = jnp.asarray(jnp.finfo(loss_map.dtype).max, loss_map.dtype)
         vals = jnp.sort(jnp.where(valid, loss_map, big).reshape(-1))
-        idx = jnp.clip(
-            (neg_conf_loss_quantile * (n.astype(jnp.float32) - 1)).astype(
-                jnp.int32), 0, vals.shape[0] - 1)
-        neg_value = jax.lax.stop_gradient(vals[idx])
+        # torch.quantile LINEARLY INTERPOLATES between the neighboring
+        # order statistics when q*(n-1) is fractional — match it
+        pos = neg_conf_loss_quantile * (n.astype(jnp.float32) - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32),
+                      0, vals.shape[0] - 1)
+        hi = jnp.clip(lo + 1, 0, vals.shape[0] - 1)
+        frac = jnp.clip(pos - lo.astype(jnp.float32), 0.0, 1.0)
+        neg_value = jax.lax.stop_gradient(
+            vals[lo] * (1.0 - frac) + vals[hi] * frac)
         conf_neg = jnp.concatenate([c1, c2], axis=0)
         neg_mask = jnp.concatenate([~valid, ~valid], axis=0)
         neg_w = neg_value * conf_neg - alpha * jnp.log(conf_neg)

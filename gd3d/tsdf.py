@@ -12,8 +12,10 @@ TPU-first redesign: the reference loops images with a tqdm bar and batches
 queries through a python loop (TSDF_batchsize=1e7); here the whole
 refinement is ONE jitted program — candidates for all pixels of an image
 are evaluated by a `lax.map` over fixed-size query chunks (static shapes),
-and images are vmapped/scanned. Nearest-pixel depth lookup matches the
-reference ("for now, there's no interpolation", :94).
+and images run sequentially under an outer `lax.map` (program size and
+live memory are constant in the number of images; all scene arrays enter
+as jit arguments, never closed-over HLO constants). Nearest-pixel depth
+lookup matches the reference ("for now, there's no interpolation", :94).
 
 Deviations (documented): confidence weights use the aligner's raw
 confidence maps directly where the reference exps its log-confs — a
@@ -72,87 +74,91 @@ def tsdf_refine(
     pp = jnp.asarray(out["principal_points"], jnp.float32)
     depth0 = jnp.asarray(out["depthmaps"], jnp.float32).reshape(n, P)
     conf = jnp.asarray(_scene_im_conf(scene))               # (n, P)
-
-    # world->cam = closed-form inverse of cam2world
-    R = poses[:, :3, :3]
-    t = poses[:, :3, 3]
-    Rt = jnp.swapaxes(R, 1, 2)
-    w2c_t = -jnp.einsum("nab,nb->na", Rt, t)                # (n, 3)
-
-    xs, ys = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
-    pix = jnp.stack([xs, ys], -1).reshape(P, 2).astype(jnp.float32)
-
-    def tsdf_query(q, curthresh):
-        """q (M, 3) world points -> (TSDF value, valid) per point
-        (tsdf_optimizer.py:85-110)."""
-        cam = jnp.einsum("nab,mb->nma", Rt, q) + w2c_t[:, None]  # (n, M, 3)
-        z = cam[..., 2]
-        zsafe = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
-        u = jnp.round(cam[..., 0] / zsafe * focals[:, None] + pp[:, 0:1])
-        v = jnp.round(cam[..., 1] / zsafe * focals[:, None] + pp[:, 1:2])
-        inb = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
-        lin = (jnp.clip(v, 0, H - 1) * W + jnp.clip(u, 0, W - 1)).astype(
-            jnp.int32)                                       # (n, M)
-        pred_d = jnp.take_along_axis(depth0, lin, axis=1)
-        pred_c = jnp.take_along_axis(conf, lin, axis=1)
-        sdf = pred_d - z
-        unseen = sdf < -curthresh
-        tsdf = jnp.clip(sdf, -curthresh, 1e20)
-        w = jnp.where(inb & ~unseen, pred_c, 0.0)
-        wsum = jnp.sum(w, axis=0)
-        valid = wsum > 0
-        val = jnp.sum(w * tsdf, axis=0) / jnp.maximum(wsum, 1e-12)
-        return val, valid
-
-    def refine_one(d, key, f_i, pp_i, pose_i):
-        """One image's (P,) depths -> refined (P,)."""
-        for it in range(niter):
-            curthresh = (niter - it) * thresh
-            off = (jax.random.normal(key, (P, nsamples)) - 1.0) * curthresh
-            cand = d[:, None] + off                          # (P, S)
-            rel = jnp.concatenate(
-                [
-                    cand[..., None] * ((pix - pp_i) / f_i)[:, None, :],
-                    cand[..., None],
-                ],
-                axis=-1,
-            )                                               # (P, S, 3)
-            world = rel.reshape(-1, 3) @ pose_i[:3, :3].T + pose_i[:3, 3]
-
-            def q_chunk(qc):
-                return tsdf_query(qc, curthresh)
-
-            nq = world.shape[0]
-            pad = (-nq) % chunk
-            wq = jnp.pad(world, ((0, pad), (0, 0)))
-            vals, valids = jax.lax.map(
-                q_chunk, wq.reshape(-1, chunk, 3))
-            vals = vals.reshape(-1)[:nq].reshape(P, nsamples)
-            valids = valids.reshape(-1)[:nq].reshape(P, nsamples)
-
-            avals = jnp.where(valids, jnp.abs(vals), jnp.inf)
-            best = jnp.argmin(avals, axis=-1)
-            # flat zone: every sample clipped to the truncation value
-            allbad = jnp.sum(
-                (jnp.abs(vals) == curthresh).astype(jnp.int32), axis=-1
-            ) == nsamples
-            d_new = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
-            d = jnp.where(allbad, d, d_new)
-            key = jax.random.fold_in(key, it)
-        return d
+    keys = jnp.stack([jax.random.key(seed + i) for i in range(n)])
 
     @jax.jit
-    def run(depth0):
-        outs = []
-        for i in range(n):
-            outs.append(refine_one(
-                depth0[i], jax.random.key(seed + i),
-                focals[i], pp[i], poses[i]))
-        return jnp.stack(outs)
+    def run(depth0, conf, focals, pp, poses, keys):
+        # everything arrives as an ARGUMENT (closed-over arrays would be
+        # serialized into the HLO — see the repo's remote-compile notes)
+        # and images run under ONE lax.map body, so the program size is
+        # constant in the number of images.
+        Rt = jnp.swapaxes(poses[:, :3, :3], 1, 2)           # world->cam
+        w2c_t = -jnp.einsum("nab,nb->na", Rt, poses[:, :3, 3])
+        xs, ys = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
+        pix = jnp.stack([xs, ys], -1).reshape(P, 2).astype(jnp.float32)
 
-    refined = run(depth0)
+        def tsdf_query(q, curthresh):
+            """q (M, 3) world points -> (TSDF value, valid) per point
+            (tsdf_optimizer.py:85-110)."""
+            cam = jnp.einsum("nab,mb->nma", Rt, q) + w2c_t[:, None]
+            z = cam[..., 2]                                  # (n, M)
+            zsafe = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+            u = jnp.round(cam[..., 0] / zsafe * focals[:, None] + pp[:, 0:1])
+            v = jnp.round(cam[..., 1] / zsafe * focals[:, None] + pp[:, 1:2])
+            inb = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            lin = (jnp.clip(v, 0, H - 1) * W + jnp.clip(u, 0, W - 1)).astype(
+                jnp.int32)                                   # (n, M)
+            pred_d = jnp.take_along_axis(depth0, lin, axis=1)
+            pred_c = jnp.take_along_axis(conf, lin, axis=1)
+            sdf = pred_d - z
+            unseen = sdf < -curthresh
+            tsdf = jnp.clip(sdf, -curthresh, 1e20)
+            w = jnp.where(inb & ~unseen, pred_c, 0.0)
+            wsum = jnp.sum(w, axis=0)
+            valid = wsum > 0
+            val = jnp.sum(w * tsdf, axis=0) / jnp.maximum(wsum, 1e-12)
+            return val, valid
+
+        def refine_one(args):
+            """One image's (P,) depths -> refined (P,)."""
+            d, key, f_i, pp_i, pose_i = args
+            for it in range(niter):
+                curthresh = (niter - it) * thresh
+                off = (jax.random.normal(key, (P, nsamples)) - 1.0
+                       ) * curthresh
+                cand = d[:, None] + off                      # (P, S)
+                rel = jnp.concatenate(
+                    [
+                        cand[..., None] * ((pix - pp_i) / f_i)[:, None, :],
+                        cand[..., None],
+                    ],
+                    axis=-1,
+                )                                            # (P, S, 3)
+                world = (rel.reshape(-1, 3) @ pose_i[:3, :3].T
+                         + pose_i[:3, 3])
+
+                def q_chunk(qc):
+                    return tsdf_query(qc, curthresh)
+
+                nq = world.shape[0]
+                pad = (-nq) % chunk
+                wq = jnp.pad(world, ((0, pad), (0, 0)))
+                vals, valids = jax.lax.map(
+                    q_chunk, wq.reshape(-1, chunk, 3))
+                vals = vals.reshape(-1)[:nq].reshape(P, nsamples)
+                valids = valids.reshape(-1)[:nq].reshape(P, nsamples)
+
+                avals = jnp.where(valids, jnp.abs(vals), jnp.inf)
+                best = jnp.argmin(avals, axis=-1)
+                # flat zone: every sample clipped to the truncation value
+                allbad = jnp.sum(
+                    (jnp.abs(vals) == curthresh).astype(jnp.int32), axis=-1
+                ) == nsamples
+                d_new = jnp.take_along_axis(
+                    cand, best[:, None], axis=1)[:, 0]
+                d = jnp.where(allbad, d, d_new)
+                key = jax.random.fold_in(key, it)
+            return d
+
+        return jax.lax.map(refine_one, (depth0, keys, focals, pp, poses))
+
+    refined = run(depth0, conf, focals, pp, poses, keys)
 
     # recompute world points from the refined depths
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    xs, ys = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
+    pix = jnp.stack([xs, ys], -1).reshape(P, 2).astype(jnp.float32)
     rel = jnp.concatenate(
         [
             refined[..., None] * ((pix[None] - pp[:, None]) /

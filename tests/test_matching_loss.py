@@ -120,13 +120,18 @@ def test_conf_matching_loss_matches_reference():
     np.testing.assert_allclose(float(got), float(ref_val), rtol=2e-5)
 
 
-def test_conf_matching_loss_neg_quantile_matches_reference():
+@pytest.mark.parametrize("seed,quantile", [
+    (5, 0.5),   # integral order-statistic index
+    (5, 0.37),  # fractional index — torch.quantile interpolates
+    (7, 0.8),
+])
+def test_conf_matching_loss_neg_quantile_matches_reference(seed, quantile):
     _ref_paths()
     from mast3r.losses import ConfMatchingLoss, InfoNCE, MatchingLoss
 
     from gd3d.ops.matching_loss import conf_matching_loss
 
-    rng = np.random.RandomState(5)
+    rng = np.random.RandomState(seed)
     B, H, W, D, N = 1, 6, 6, 8, 10
     desc1 = rng.randn(B, H, W, D).astype(np.float32)
     desc2 = rng.randn(B, H, W, D).astype(np.float32)
@@ -141,7 +146,7 @@ def test_conf_matching_loss_neg_quantile_matches_reference():
     ref = ConfMatchingLoss(
         MatchingLoss(InfoNCE(temperature=0.07, mode="all",
                              reduction="none")),
-        alpha=0.3, confmode="mean", neg_conf_loss_quantile=0.5)
+        alpha=0.3, confmode="mean", neg_conf_loss_quantile=quantile)
     with torch.no_grad():
         t = lambda x: torch.from_numpy(np.asarray(x))
         ref_val, _ = ref.compute_loss(
@@ -154,7 +159,7 @@ def test_conf_matching_loss_neg_quantile_matches_reference():
         {"desc": desc1, "desc_conf": conf1},
         {"desc": desc2, "desc_conf": conf2},
         alpha=0.3, confmode="mean", temperature=0.07, mode="all",
-        neg_conf_loss_quantile=0.5)
+        neg_conf_loss_quantile=quantile)
     np.testing.assert_allclose(float(got), float(ref_val), rtol=2e-4)
 
 

@@ -47,3 +47,12 @@ def test_unknown_strategy_raises():
         make_pair_indices(4, "nope")
     with pytest.raises(ValueError):
         make_pair_indices(4, "complete", prefilter="bogus9")
+
+
+def test_oneref_out_of_range_raises():
+    with pytest.raises(ValueError, match="out of range"):
+        make_pair_indices(5, "oneref-9")
+
+
+def test_empty_graph_with_prefilter_returns_empty():
+    assert make_pair_indices(1, "complete", prefilter="seq1") == []
