@@ -646,7 +646,8 @@ def sparse_from_scene(scene: Scene, k: int = 1024) -> Scene:
         cand = first[first >= 0]
         cand = cand[np.argsort(-im_conf[im][cand])][:k]
         if len(cand) < k:  # fewer non-empty cells than k: fill by top conf
-            extra = [p for p in order if p not in set(cand)]
+            cand_set = set(cand)
+            extra = [p for p in order if p not in cand_set]
             cand = np.concatenate([cand, np.asarray(extra[: k - len(cand)])])
         anchors[im] = cand
 

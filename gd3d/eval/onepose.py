@@ -219,8 +219,7 @@ def evaluate_object(
             kp = grid_keypoints(rgb.shape[0], rgb.shape[1], grid_stride)
         desc_q = frame_descriptors(student, params, rgb, kp, refine,
                                    device=on_tpu)
-        nn = (mutual_nn_match_device(desc_q, desc_t) if on_tpu
-              else mutual_nn_match(desc_q, desc_t))
+        nn = mutual_nn_match(desc_q, desc_t)  # routes on-device on TPU
         m = nn >= 0
         pose = solve_pose(kp[m], pts3d_t[nn[m]], frame["intrinsic"])
         r, t = query_pose_error(pose, frame["pose_gt"])

@@ -255,18 +255,13 @@ def semantic_transfer(
         for a in alphas:
             results[a].append(float((err < a * img_size).mean()))
 
-    df = pd.DataFrame(
-        {
-            "PCK0.05": results[0.05],
-            "PCK0.10": results[0.1],
-            "PCK0.15": results[0.15],
-        }
-    )
+    cols = {f"PCK{a:.2f}": results[a] for a in sorted(alphas)}
+    df = pd.DataFrame(cols)
     df["categories"] = kept
     df.set_index(["categories"], inplace=True)
     # per-category pair-count weights, mapped by name so category subsets
     # and absent categories weight correctly (evaluate_timm.py:554-588)
     weights = [CATEGORY_WEIGHTS[PASCAL_CATEGORIES.index(c)] for c in kept]
-    for col in ("PCK0.05", "PCK0.10", "PCK0.15"):
+    for col in cols:
         df[f"Weighted {col}"] = np.average(df[col], weights=weights)
     return df

@@ -84,16 +84,22 @@ class AlternatingPair(nn.Module):
         tokens = self._constrain(tokens, ba, None, None)
         gtokens = self._constrain(
             tokens.reshape(self.B, self.S * P, C), ba, None, None)
+        # the cross-frame attention export is a PAIR construct (frame1<->
+        # frame2 score blocks, attention.py:51-85) — only valid at S == 2;
+        # longer sequences run the same blocks without the export
+        export = self.S == 2
         gtokens, amap = VggtBlock(
             C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
             qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
             eps=cfg.layernorm_eps, sp_mesh=self.sp_mesh,
             sp_axis=self.sp_axis, sp_batch_axis=ba, name="global",
-        )(gtokens, pos=gpos, return_attn=True, temperature=temperature)
+        )(gtokens, pos=gpos, return_attn=export, temperature=temperature)
         gtokens = self._constrain(gtokens, ba, None, None)
         tokens = self._constrain(gtokens.reshape(BS, P, C), ba, None, None)
         global_inter = gtokens.reshape(self.B, self.S, P, C)
-        attn_accum = attn_accum + attn_weight * amap.astype(attn_accum.dtype)
+        if export:
+            attn_accum = attn_accum + attn_weight * amap.astype(
+                attn_accum.dtype)
         return (tokens, attn_accum), (frame_inter, global_inter)
 
 
@@ -115,7 +121,8 @@ class Aggregator(nn.Module):
     ):
         """images (B, S, H, W, 3) in [0, 1]. Returns (tokens_list, attn_mean)
         where tokens_list has `depth` entries (B, S, P, 2C) and attn_mean is
-        (2B, Pp, Pp) — head- and layer-meaned cross-frame attention."""
+        (2B, Pp, Pp) — head- and layer-meaned cross-frame attention (a
+        two-frame construct: zeros when S != 2)."""
         cfg = self.cfg
         B, S, H, W, _ = images.shape
         C = cfg.embed_dim

@@ -94,6 +94,20 @@ def test_unproject_identity_camera():
 
 
 @pytest.mark.slow
+def test_vggt_three_frame_forward():
+    """S > 2 runs: the cross-frame attention export is a pair construct
+    (attention.py:51-85 splits tokens at N//2), so it must be gated off —
+    not crash — for longer sequences."""
+    model = Vggt(TINY)
+    imgs = jnp.asarray(
+        np.random.RandomState(4).rand(1, 3, 28, 28, 3), jnp.float32)
+    params = model.init(jax.random.key(0), imgs)["params"]
+    out = model.apply({"params": params}, imgs)
+    assert out["pose_enc"].shape == (1, 3, 9)
+    assert out["depth"].shape == (1, 3, 28, 28, 1)
+    assert np.all(np.asarray(out["attn"]) == 0)  # export only at S == 2
+
+
 def test_vggt_tiny_forward():
     model = Vggt(TINY)
     imgs = jnp.asarray(
