@@ -146,6 +146,11 @@ def bench_mast3r(jax, jnp) -> dict:
         dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * K / dt
+    if mesh_ctx is not None:
+        # the mesh path shards the global batch over n chips — divide so
+        # the emitted number stays per-chip (the unit the baseline ratio
+        # and round-over-round comparisons assume)
+        pairs_per_sec /= mesh_ctx.devices.size
     mfu = flops / dt / V5E_BF16_PEAK_FLOPS
     _log(f"mast3r step: student={sd} teacher={cfg.teacher_dtype} "
          f"batch={BATCH} K={K}"

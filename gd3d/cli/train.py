@@ -299,12 +299,17 @@ def main(argv=None):
                            for i in range(batch_size)]
                 return collate(samples)
 
-        for step0 in range(0, steps, K):
-            live = list(range(step0, min(step0 + K, steps)))
+        # the scan trainer applies the optimizer on every one of its K
+        # slices, so a short final group must NOT be padded with a
+        # repeated batch (that would run real, biased updates) — round
+        # the epoch UP to a multiple of K with fresh wrapped batches
+        steps_run = -(-steps // K) * K
+        if steps_run != steps and epoch == 0:
+            print(f"steps_per_epoch {steps} rounded up to {steps_run} "
+                  f"(multiple of --multistep {K})")
+        for step0 in range(0, steps_run, K):
+            live = list(range(step0, step0 + K))
             raw = [fetch(s) for s in live]
-            # the scan trainer needs exactly K slices: pad a short final
-            # group by repeating its last batch, drop the extra metrics
-            raw += [raw[-1]] * (K - len(live))
             if K > 1:
                 batch = {k: np.stack([b[k] for b in raw]) for k in raw[0]}
             else:
@@ -318,7 +323,10 @@ def main(argv=None):
     # host_wait on the 1-core host was 75% of epoch wall at K=32 with f32
     # transfers (~13 MB/pair). Synthetic/dev batches (random floats, not
     # u8-derived) skip packing to keep their numerics exact.
-    real_data = (_make_epoch_dataset(args, cfg, 0) is not None
+    # same conditions _make_epoch_dataset checks before any I/O — don't
+    # construct (and discard) a whole dataset just to learn the boolean
+    real_data = (not args.synthetic and not args.dev
+                 and Path(args.data_root).exists()
                  and os.environ.get("GD3D_U8_TRANSFER", "1") != "0")
 
     def _pack_u8(batch):

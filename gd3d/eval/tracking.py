@@ -7,6 +7,7 @@ refine_conv, DINO-Tracker inference (cos thresholds 0.7/0.6, argmax radius
 """
 from __future__ import annotations
 
+import functools
 import pickle
 from pathlib import Path
 from typing import Dict
@@ -19,6 +20,22 @@ from PIL import Image
 from gd3d.eval.tracker import TrackerConfig, infer_tracks
 from gd3d.eval.tracking_metrics import compute_tapvid_metrics_for_video
 from gd3d.models.student import Student
+
+
+@functools.lru_cache(maxsize=4)
+def _feature_fn(student: Student, stride: int, refine: bool):
+    """One jitted dense-feature program per (student, stride, refine) —
+    jax.jit's dispatch cache is keyed on the callable, so rebuilding the
+    lambda per video would re-trace/re-compile every video."""
+    import jax
+
+    return jax.jit(
+        lambda p, x: student.dense_grid_features(
+            p,
+            x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x,
+            stride=stride, refine=refine,
+        )
+    )
 
 
 def video_features(
@@ -36,17 +53,8 @@ def video_features(
     bytes — lossless for the PIL-decoded loader path). The result stays
     DEVICE-resident: infer_tracks consumes it per query-frame set, and
     returning numpy here cost a T x 19 MB round-trip per set."""
-    import jax
-
     ps = student.cfg.patch_size
-    stride = ps // 2
-    fn = jax.jit(
-        lambda p, x: student.dense_grid_features(
-            p,
-            x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x,
-            stride=stride, refine=refine,
-        )
-    )
+    fn = _feature_fn(student, ps // 2, refine)
     T = frames.shape[0]
     feats = []
     for lo in range(0, T, batch_frames):
@@ -81,13 +89,17 @@ def tracking_single(
     h = size_hw[0] // ps * ps
     w = size_hw[1] // ps * ps
 
+    # resolve the benchmark entry BEFORE the expensive feature pass
+    video_config = next(
+        (vc for vc in benchmark_config["videos"]
+         if vc["video_idx"] == video_id), None)
+    if video_config is None:
+        raise KeyError(
+            f"video_idx {video_id} not in the benchmark pkl "
+            f"({len(benchmark_config['videos'])} videos)")
+
     frames = load_video_frames(f"{video_root}/{video_id}/video", h, w)
     feats = video_features(student, params, frames, refine)
-
-    for vc in benchmark_config["videos"]:
-        if vc["video_idx"] == video_id:
-            video_config = vc
-            break
     rx = w / video_config["w"]
     ry = h / video_config["h"]
 

@@ -186,6 +186,23 @@ def test_eval_callback_skips_missing_data(tmp_path):
 
 # ------------------------------------------------------------ resume
 @pytest.mark.slow
+def test_train_cli_multistep_rounds_up_with_fresh_batches(tmp_path):
+    """K=4 over 5 steps: the scan trainer applies the optimizer on every
+    slice, so the epoch rounds UP to 8 REAL steps (fresh wrapped batches)
+    instead of padding with a repeated batch (which would run biased
+    duplicate updates)."""
+    from gd3d.cli.train import main
+
+    out = tmp_path / "k4"
+    main(["--config", "finetune_timm_mast3r_objaverse", "--tiny",
+          "--synthetic", "--steps-per-epoch", "5", "--multistep", "4",
+          "--epochs", "1", "--output", str(out)])
+    recs = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    steps = [r["step"] for r in recs if "step" in r]
+    assert steps == list(range(8)), steps
+    assert all(np.isfinite(r["loss"]) for r in recs if "step" in r)
+
+
 def test_train_cli_resume_reproduces_metrics(tmp_path):
     """Run 3 epochs straight vs 2 epochs + resume: the epoch-2 loss stream
     must be identical (synthetic data is seeded per (epoch, step))."""
