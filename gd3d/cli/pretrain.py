@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--corres", type=int, default=256,
                    help="padded correspondences per pair")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=0, metavar="N",
+                   help="linear LR warmup over N steps, then cosine decay "
+                        "to 0 at --steps (the public DUSt3R/MASt3R recipe); "
+                        "0 = constant LR")
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--matching-weight", type=float, default=0.075)
     p.add_argument("--seed", type=int, default=0)
@@ -74,8 +78,14 @@ def main(argv=None) -> None:
     # separately (~40 ms each through the axon tunnel — see PERF_NOTES)
     params = jax.jit(model.init)(jax.random.key(args.seed), batch["img1"],
                                  batch["img2"])["params"]
+    if args.warmup:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=args.lr,
+            warmup_steps=args.warmup, decay_steps=args.steps)
+    else:
+        lr = args.lr
     tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
-                     optax.adamw(args.lr))
+                     optax.adamw(lr))
     opt_state = tx.init(params)
 
     mesh = None
@@ -105,6 +115,8 @@ def main(argv=None) -> None:
             params, opt_state, metrics = step(params, opt_state, batch)
             rec = {"step": s,
                    **{k: round(float(v), 5) for k, v in metrics.items()}}
+            if callable(lr):
+                rec["lr"] = round(float(lr(s)), 8)
             mf.write(json.dumps(rec) + "\n")
             if s == 0 or (s + 1) % 10 == 0:
                 print(f"step {s}: loss={rec['loss']:.4f} "

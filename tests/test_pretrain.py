@@ -93,10 +93,12 @@ def test_pretrain_cli_smoke(tmp_path):
     from gd3d.cli.pretrain import main
 
     main(["--output", str(tmp_path / "run"), "--steps", "2", "--tiny",
-          "--img", "64", "--corres", "16"])
+          "--img", "64", "--corres", "16", "--warmup", "1"])
     lines = [json.loads(l) for l in
              (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
     assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
+    # warmup-cosine schedule: lr ramps 0 -> peak over the warmup step
+    assert lines[0]["lr"] == 0.0 and lines[1]["lr"] > 0
     assert (tmp_path / "run" / "params_final.npz").exists()
 
 
