@@ -44,7 +44,12 @@ def parse_args(argv=None):
                    help="force the CPU backend (this image pins "
                         "jax_platforms, so the env var is not enough)")
     p.add_argument("--ckpt-every", type=int, default=0,
-                   help="save params every N steps (0 = final only)")
+                   help="save params every N steps (0 = final only); also "
+                        "writes the full restart state (state_last.npz)")
+    p.add_argument("--resume", default=None, metavar="STATE_NPZ",
+                   help="resume from a state_last.npz written by "
+                        "--ckpt-every (params + optimizer state + step; "
+                        "metrics.jsonl is appended, not truncated)")
     return p.parse_args(argv)
 
 
@@ -80,13 +85,21 @@ def main(argv=None) -> None:
                                  batch["img2"])["params"]
     if args.warmup:
         lr = optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=args.lr,
-            warmup_steps=args.warmup, decay_steps=args.steps)
+            init_value=0.0, peak_value=args.lr, warmup_steps=args.warmup,
+            # optax counts decay_steps from step 0 and requires it to
+            # exceed the warmup (all-warmup runs happen in short smokes)
+            decay_steps=max(args.steps, args.warmup + 1))
     else:
         lr = args.lr
     tx = optax.chain(optax.clip_by_global_norm(args.grad_clip),
                      optax.adamw(lr))
     opt_state = tx.init(params)
+
+    start_step = 0
+    if args.resume:
+        (params, opt_state), start_step = _load_state(
+            args.resume, (params, opt_state))
+        print(f"resumed from {args.resume} at step {start_step}")
 
     mesh = None
     shard = lambda b: b  # noqa: E731
@@ -106,10 +119,11 @@ def main(argv=None) -> None:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
-    # truncate: there is no resume, so appending to a previous run's
-    # metrics would interleave two step-0.. streams
-    with open(out_dir / "metrics.jsonl", "w") as mf:
-        for s in range(args.steps):
+    # fresh runs truncate (appending would interleave two step-0..
+    # streams); resumed runs append and continue the step numbering
+    with open(out_dir / "metrics.jsonl",
+              "a" if args.resume else "w") as mf:
+        for s in range(start_step, args.steps):
             batch = shard(synthetic_pretrain_batch(
                 args.seed + s + 1, args.batch, args.img, args.corres))
             params, opt_state, metrics = step(params, opt_state, batch)
@@ -125,6 +139,8 @@ def main(argv=None) -> None:
                       f"({time.perf_counter() - t0:.1f}s)", flush=True)
             if args.ckpt_every and (s + 1) % args.ckpt_every == 0:
                 _save(out_dir / f"params_{s + 1:06d}.npz", params)
+                _save_state(out_dir / "state_last.npz",
+                            (params, opt_state), s + 1)
     _save(out_dir / "params_final.npz", params)
     print(f"pretraining finished -> {out_dir}")
 
@@ -134,6 +150,26 @@ def _save(path, params) -> None:
 
     np.savez(path, **{"/".join(k): np.asarray(v)
                       for k, v in flatten_dict(params).items()})
+
+
+def _save_state(path, state, step: int) -> None:
+    """Full restart state: every (params, opt_state) leaf positionally
+    (the tree STRUCTURE is rebuilt from a fresh tx.init at load, so only
+    leaves need storing) + the step counter."""
+    import jax
+
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state)]
+    np.savez(path, *leaves, step=np.int64(step))
+
+
+def _load_state(path, state_template):
+    import jax
+
+    z = np.load(path)
+    tmpl, treedef = jax.tree_util.tree_flatten(state_template)
+    leaves = [z[f"arr_{i}"] for i in range(len(tmpl))]
+    assert len(leaves) == len(tmpl), "state layout mismatch"
+    return jax.tree_util.tree_unflatten(treedef, leaves), int(z["step"])
 
 
 if __name__ == "__main__":

@@ -102,6 +102,36 @@ def test_pretrain_cli_smoke(tmp_path):
     assert (tmp_path / "run" / "params_final.npz").exists()
 
 
+def test_pretrain_cli_resume_reproduces_metrics(tmp_path):
+    """4 straight steps vs 2 steps + kill + resume: the step-2..3 metric
+    stream must be identical (batches are seeded per step; state_last.npz
+    carries params + optimizer state + step)."""
+    import json
+
+    from gd3d.cli.pretrain import main
+
+    common = ["--steps", "4", "--tiny", "--img", "64", "--corres", "16",
+              "--warmup", "2"]
+
+    out_a = tmp_path / "straight"
+    main(["--output", str(out_a)] + common)
+
+    out_b = tmp_path / "resumed"
+    main(["--output", str(out_b), "--steps", "2"] + common[2:]
+         + ["--ckpt-every", "2"])
+    main(["--output", str(out_b)] + common
+         + ["--resume", str(out_b / "state_last.npz")])
+
+    def recs(path):
+        return [json.loads(l) for l in
+                (path / "metrics.jsonl").read_text().splitlines()]
+
+    ra, rb = recs(out_a), recs(out_b)
+    assert [r["step"] for r in ra] == [r["step"] for r in rb] == [0, 1, 2, 3]
+    for a, b in zip(ra, rb):
+        assert abs(a["loss"] - b["loss"]) < 1e-4, (a, b)
+
+
 def test_pretrain_step_dp_mesh_matches_single_device():
     """DP over the 8-device CPU mesh reproduces the single-device step:
     params/opt_state replicated, batch sharded on `data`, XLA inserts the
