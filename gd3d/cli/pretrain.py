@@ -1,11 +1,13 @@
 """gd3d-pretrain: DUSt3R/MASt3R-style two-view pretraining driver.
 
 The reference vendors the pretraining criteria and datasets but strips the
-driver (SURVEY row 31); this CLI closes the loop on gd3d's side: the
-synthetic renderer supplies dense-GT pairs (gd3d/data/pretrain_pairs.py)
-and the composed ConfLoss(Regr3D) + ConfMatchingLoss objective runs as one
-jitted program (gd3d/distill/pretrain.py). Swap `make_batch` for a real
-dataset (same dict layout) to pretrain on real data.
+driver (SURVEY row 31); this CLI closes the loop on gd3d's side: dense-GT
+pairs come from the in-process procedural renderer or, with --data-root,
+from an on-disk render tree (gd3d-render output / Objaverse renderings —
+gd3d/data/pretrain_pairs.py), and the composed ConfLoss(Regr3D) +
+ConfMatchingLoss objective runs as one jitted program
+(gd3d/distill/pretrain.py). Any real dataset with the same dict layout
+plugs in the same way.
 """
 from __future__ import annotations
 
@@ -22,6 +24,11 @@ def parse_args(argv=None):
         description="Pretrain a Mast3r two-view model (regression + "
                     "matching objective) on synthetic dense-GT pairs")
     p.add_argument("--output", required=True)
+    p.add_argument("--data-root", default=None, metavar="RENDER_TREE",
+                   help="train on an on-disk render tree (gd3d-render "
+                        "output / Objaverse renderings: color_/depth_/"
+                        "mask_%%06d.png + obj_poses.npy) instead of "
+                        "in-process procedural pairs")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--img", type=int, default=224)
@@ -61,10 +68,21 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", "cpu")
     import optax
 
-    from gd3d.data.pretrain_pairs import synthetic_pretrain_batch
+    import functools
+
+    from gd3d.data.pretrain_pairs import (
+        rendered_pretrain_batch,
+        synthetic_pretrain_batch,
+    )
     from gd3d.distill.pretrain import build_mast3r_pretrain_step
     from gd3d.models.croco import CrocoConfig
     from gd3d.models.mast3r import Mast3r, Mast3rConfig
+
+    if args.data_root:
+        make_batch = functools.partial(rendered_pretrain_batch,
+                                       args.data_root)
+    else:
+        make_batch = synthetic_pretrain_batch
 
     if args.tiny:
         args.img = min(args.img, 64)
@@ -77,8 +95,7 @@ def main(argv=None) -> None:
         cfg = Mast3rConfig()
     model = Mast3r(cfg)
 
-    batch = synthetic_pretrain_batch(args.seed, args.batch, args.img,
-                                     args.corres)
+    batch = make_batch(args.seed, args.batch, args.img, args.corres)
     # jit the init: eager flax init dispatches every param-init op
     # separately (~40 ms each through the axon tunnel — see PERF_NOTES)
     params = jax.jit(model.init)(jax.random.key(args.seed), batch["img1"],
@@ -124,7 +141,7 @@ def main(argv=None) -> None:
     with open(out_dir / "metrics.jsonl",
               "a" if args.resume else "w") as mf:
         for s in range(start_step, args.steps):
-            batch = shard(synthetic_pretrain_batch(
+            batch = shard(make_batch(
                 args.seed + s + 1, args.batch, args.img, args.corres))
             params, opt_state, metrics = step(params, opt_state, batch)
             rec = {"step": s,

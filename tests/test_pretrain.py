@@ -87,6 +87,36 @@ def test_synthetic_pretrain_batch_geometry():
         assert np.median(d) < 0.05, d
 
 
+def test_rendered_pretrain_batch_geometry(tmp_path):
+    """The on-disk render-tree loader produces the same 3D-consistent GT
+    as the in-process path: both views' valid pixels unproject to the
+    shared object, correspondences land on nearby world points."""
+    from gd3d.data.pretrain_pairs import rendered_pretrain_batch
+    from gd3d.data.render_synthetic import render_object_tree
+
+    poses = render_object_tree(str(tmp_path), ["a", "b"], n_views=4,
+                               size=96)
+    np.save(tmp_path / "obj_poses.npy", poses)
+
+    b = rendered_pretrain_batch(tmp_path, seed=2, batch=2, img=64,
+                                n_corres=32)
+    assert b["img1"].shape == (2, 64, 64, 3)
+    g1, g2 = b["gt1"], b["gt2"]
+    for g in (g1, g2):
+        assert g["valid_mask"].any()
+        assert np.abs(g["pts3d"][g["valid_mask"]]).max() < 1.0
+        np.testing.assert_array_equal(g["sky_mask"], ~g["valid_mask"])
+    vc = g1["valid_corres"]
+    assert vc.any()
+    for bi in range(2):
+        c1 = g1["corres"][bi][vc[bi]]
+        c2 = g2["corres"][bi][vc[bi]]
+        w1 = g1["pts3d"][bi][c1[:, 1], c1[:, 0]]
+        w2 = g2["pts3d"][bi][c2[:, 1], c2[:, 0]]
+        d = np.linalg.norm(w1 - w2, axis=-1)
+        assert np.median(d) < 0.05, d
+
+
 def test_pretrain_cli_smoke(tmp_path):
     import json
 
