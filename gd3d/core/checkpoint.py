@@ -79,16 +79,22 @@ def load_reference_checkpoint(path: str) -> Dict[str, np.ndarray]:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     flat: Dict[str, np.ndarray] = {}
 
+    def to_np(t):
+        # the reference's on_save_checkpoint stores w_As[i].weight as raw
+        # trainable nn.Parameters (finetune_timm_mast3r.py:174-185);
+        # .numpy() on a requires_grad tensor raises — detach first
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else t.numpy()
+
     def emit(prefix, obj):
         if hasattr(obj, "numpy"):
-            flat[prefix] = obj.numpy()
+            flat[prefix] = to_np(obj)
         elif isinstance(obj, dict):
             for k, v in obj.items():
                 emit(f"{prefix}.{k}" if prefix else k, v)
 
     for key, val in ckpt.items():
         if key.startswith(("w_a_", "w_b_")):
-            flat[key] = val.numpy()
+            flat[key] = to_np(val)
         elif key.startswith("adapter_"):
             emit(key, val)
         elif key == "depth_diff_head":

@@ -24,7 +24,12 @@ ImageLike = Union[str, Image.Image, np.ndarray]
 
 def _to_pil(img: ImageLike) -> Image.Image:
     if isinstance(img, str):
-        im = Image.open(img)
+        from PIL import ImageOps
+
+        # dust3r load_images applies the EXIF orientation before any
+        # resize/crop (dust3r/utils/image.py:98) — phone JPEGs would
+        # otherwise enter the pipeline rotated
+        im = ImageOps.exif_transpose(Image.open(img))
         if im.mode == "RGBA":
             bg = Image.new("RGBA", im.size, (255, 255, 255, 255))
             im = Image.alpha_composite(bg, im)

@@ -154,6 +154,9 @@ def vggt_distill_loss(
     ap_loss = ap_loss_paired(
         desc_1, desc_2, pts3d_1, pts3d_2, valid,
         thres3d_neg=kcfg.thres3d_neg, temp=kcfg.ap_sigmoid_temp,
+        # finetune_timm_vggt.py:556 kept the pre-correction rpos formula
+        # (sigmoid(1-pos_sim)+1) that the MASt3R module replaced
+        legacy_rpos1=True,
     )
 
     w = cfg.loss_weights

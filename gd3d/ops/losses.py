@@ -109,6 +109,7 @@ def ap_loss_paired(
     valid: Optional[jnp.ndarray] = None,
     thres3d_neg: float = 0.1,
     temp: float = 0.01,
+    legacy_rpos1: bool = False,
 ) -> jnp.ndarray:
     """Smooth-AP matching loss for 1:1-paired keypoints (MASt3R/VGGT path).
 
@@ -120,6 +121,11 @@ def ap_loss_paired(
       desc_1, desc_2: (B, N, C) L2-normalized descriptors.
       pts3d_1, pts3d_2: (B, N, 3) teacher 3D points at the keypoints.
       valid: (B, N) bool — padded entries excluded from negatives and mean.
+      legacy_rpos1: the two reference modules DIFFER in ap1's rpos —
+        finetune_timm_mast3r.py:571 uses sigmoid(pos_sim-1)+1 (the old
+        sigmoid(1-pos_sim) line is commented out there), while
+        finetune_timm_vggt.py:556 still uses sigmoid(1-pos_sim)+1. Set
+        True for the VGGT step.
     """
     B, N, _ = desc_1.shape
     sim = jnp.einsum("bnc,bmc->bnm", desc_1, desc_2)  # (B, N, N)
@@ -133,7 +139,10 @@ def ap_loss_paired(
     pos_sim = jnp.diagonal(sim, axis1=1, axis2=2)  # (B, N)
     negf = neg_mask.astype(sim.dtype)
 
-    rpos1 = temp_sigmoid(pos_sim - 1.0, temp) + 1.0
+    if legacy_rpos1:
+        rpos1 = temp_sigmoid(1.0 - pos_sim, temp) + 1.0
+    else:
+        rpos1 = temp_sigmoid(pos_sim - 1.0, temp) + 1.0
     rall1 = rpos1 + jnp.sum(temp_sigmoid(sim - 1.0, temp) * negf, axis=-1)
     ap1 = rpos1 / rall1
 

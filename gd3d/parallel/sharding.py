@@ -41,7 +41,7 @@ def vit_tp_rules(path: Tuple[str, ...], leaf) -> P:
         lead = (None,) if ndim == 3 else ()
         if any(m in joined for m in _COL):
             return P(*lead, None, MODEL_AXIS)  # column parallel
-        if any(m in joined for m in _ROW) or joined.endswith("proj/kernel"):
+        if any(m in joined for m in _ROW):
             return P(*lead, MODEL_AXIS, None)  # row parallel
     if "bias" in joined and ndim in (1, 2):
         lead = (None,) if ndim == 2 else ()

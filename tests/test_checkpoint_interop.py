@@ -37,8 +37,10 @@ def test_lightning_checkpoint_roundtrip(tmp_path):
     ckpt = {"state_dict": {"refine_conv": {"weight": t(C, C, 3, 3),
                                            "bias": t(C)}}}
     for k in range(2 * n_lora):
-        ckpt[f"w_a_{k:03d}"] = t(r, C)
-        ckpt[f"w_b_{k:03d}"] = t(C, r)
+        # the real reference saves w_As[i].weight as TRAINABLE Parameters
+        # (requires_grad=True) — .numpy() without detach raises on these
+        ckpt[f"w_a_{k:03d}"] = torch.nn.Parameter(t(r, C))
+        ckpt[f"w_b_{k:03d}"] = torch.nn.Parameter(t(C, r))
     for k in range(n_lora):
         ckpt[f"adapter_{k:03d}"] = {
             "down.weight": t(CFG.adapter_bottleneck, C),

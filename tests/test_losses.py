@@ -70,8 +70,10 @@ def test_pairwise_logistic_ranking_empty_is_zero():
     assert got == 0.0
 
 
-def ap_paired_numpy(desc1, desc2, p1, p2, thr, temp):
-    # transcription of src/finetune_timm_mast3r.py:556-589
+def ap_paired_numpy(desc1, desc2, p1, p2, thr, temp, legacy_rpos1=False):
+    # transcription of src/finetune_timm_mast3r.py:556-589; with
+    # legacy_rpos1, of finetune_timm_vggt.py:550-585 (its ap1 kept the
+    # pre-correction sigmoid(1-pos_sim) rpos)
     B, N, _ = desc1.shape
     assert B == 1
     sim = desc1[0] @ desc2[0].T
@@ -79,7 +81,10 @@ def ap_paired_numpy(desc1, desc2, p1, p2, thr, temp):
     eye = np.eye(N, dtype=bool)
     neg = (dist > thr) & ~eye
     pos_sim = np.diag(sim)
-    rpos = np_sigmoid(pos_sim - 1.0, temp) + 1
+    if legacy_rpos1:
+        rpos = np_sigmoid(1.0 - pos_sim, temp) + 1
+    else:
+        rpos = np_sigmoid(pos_sim - 1.0, temp) + 1
     rall = rpos + (np_sigmoid(sim - 1.0, temp) * neg).sum(-1)
     ap1 = rpos / rall
     rpos = np_sigmoid(1.0 - pos_sim, temp) + 1
@@ -104,6 +109,25 @@ def test_ap_loss_paired_matches_reference():
         )
     )
     np.testing.assert_allclose(got, want, rtol=5e-4)
+    # VGGT variant: ap1 keeps the pre-correction rpos (vggt.py:556);
+    # must match its own transcription at the reference temp
+    want_l = ap_paired_numpy(d1, d2, p1, p2, 0.1, 0.01, legacy_rpos1=True)
+    got_l = float(ap_loss_paired(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(p1), jnp.asarray(p2),
+        legacy_rpos1=True))
+    np.testing.assert_allclose(got_l, want_l, rtol=5e-4)
+    # at temp=0.01 both sigmoids saturate on random descriptors; assert
+    # the formulas actually diverge at a soft temperature
+    soft = float(ap_loss_paired(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(p1), jnp.asarray(p2),
+        temp=1.0))
+    soft_l = float(ap_loss_paired(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(p1), jnp.asarray(p2),
+        temp=1.0, legacy_rpos1=True))
+    assert abs(soft - soft_l) > 1e-4
+    np.testing.assert_allclose(
+        soft_l, ap_paired_numpy(d1, d2, p1, p2, 0.1, 1.0, legacy_rpos1=True),
+        rtol=5e-4)
 
 
 def test_ap_loss_paired_padding_invariance():
