@@ -121,12 +121,20 @@ class AugmentedCorrDataset:
         return len(self.base)
 
     def __getitem__(self, idx) -> Dict:
-        for _ in range(20):
+        # the reference resamples until the angle filter passes
+        # (data_utils/dataset.py:131-133: self[(idx+1) % len]); a silent
+        # fall-through would leak >max_angle pairs into the loss
+        for attempt in range(200):
             data = self.base[idx]
             r1, r2 = data["rot_1"], data["rot_2"]
             cosang = np.clip((np.trace(r1 @ r2.T) - 1) / 2, -1.0, 1.0)
             if np.rad2deg(np.arccos(cosang)) <= self.max_angle:
                 break
+            if attempt % 20 == 19:  # try another object, as the ref does
+                idx = (idx + 1) % len(self.base)
+        else:
+            raise RuntimeError(
+                f"no view pair within {self.max_angle} deg after 200 tries")
         for v in ("1", "2"):
             img = (data[f"rgb_{v}"] * 255).astype(np.uint8)
             kps = data[f"pts2d_{v}"]

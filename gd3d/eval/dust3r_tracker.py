@@ -52,6 +52,9 @@ class Dust3rTracker:
     ) -> np.ndarray:
         """frames (T, H, W, 3) in [0, 1]; query_points (N, 3) as (x, y, t)
         pixels. Returns (N, T, 2) predicted (x, y) per frame."""
+        # the pair cache is keyed by frame INDICES — clear it so reusing
+        # one tracker across videos can't serve another video's 3D points
+        self._cache.clear()
         frames_m11 = frames * 2.0 - 1.0  # ImgNorm(0.5, 0.5)
         T, H, W, _ = frames.shape
         N = query_points.shape[0]

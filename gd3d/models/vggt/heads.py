@@ -105,8 +105,11 @@ class CameraHead(nn.Module):
 
 # ----------------------------------------------------------------- DPT
 def _make_sincos_pos_embed(embed_dim: int, pos: jnp.ndarray, omega_0: float = 100.0):
-    omega = jnp.arange(embed_dim // 2, dtype=jnp.float64) / (embed_dim / 2.0)
-    omega = 1.0 / (omega_0**omega)
+    # omega in HOST float64 (vggt/heads/utils.py:48 computes it in double;
+    # jnp.arange(dtype=float64) silently downgrades to fp32 under the
+    # default x64-disabled config — track.py does the same on host)
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = jnp.asarray(1.0 / (omega_0**omega), jnp.float32)
     out = pos.reshape(-1)[:, None] * omega[None, :]
     return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1).astype(jnp.float32)
 

@@ -49,9 +49,8 @@ def get_2d_sincos_pos_embed_grid(embed_dim: int, gh: int, gw: int) -> jnp.ndarra
         out = pos.reshape(-1)[:, None] * omega[None, :]
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    gy, gx = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
-    # torch uses meshgrid(grid_w, grid_h, indexing='xy') then grid[0]=h-ish:
-    # grid = stack(meshgrid(w, h, 'xy')) -> grid[0][i,j]... follow reference:
+    # reference: grid = stack(meshgrid(grid_w, grid_h, 'xy')) — grid[0] is
+    # the w-index map, grid[1] the h-index map (track_modules/utils.py)
     gw_grid, gh_grid = np.meshgrid(np.arange(gw), np.arange(gh))  # 'xy'
     emb_h = emb1d(gw_grid.astype(np.float64))
     emb_w = emb1d(gh_grid.astype(np.float64))
@@ -138,10 +137,10 @@ class AttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(name="norm1")(x)  # quirk: residual from normed x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)  # quirk: residual from normed x
         x = x + TorchMHA(self.dim, self.num_heads, name="attn")(x, x, x)
         x = x + TrackMlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(
-            nn.LayerNorm(name="norm2")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         )
         return x
 
@@ -153,13 +152,13 @@ class CrossAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        x = nn.LayerNorm(name="norm1")(x)
-        context = nn.LayerNorm(name="norm_context")(context)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        context = nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
         x = x + TorchMHA(self.dim, self.num_heads, name="cross_attn")(
             x, context, context
         )
         x = x + TrackMlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(
-            nn.LayerNorm(name="norm2")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         )
         return x
 
@@ -176,7 +175,7 @@ class EfficientUpdateFormer(nn.Module):
         cfg = self.cfg
         hs = cfg.track_hidden_size
         B, N, T, _ = x.shape
-        x = nn.LayerNorm(name="input_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="input_norm")(x)
         tokens = nn.Dense(hs, name="input_transform")(x)
         init_tokens = tokens
 
@@ -206,7 +205,7 @@ class EfficientUpdateFormer(nn.Module):
                 j += 1
         tokens = tokens[:, : Nv - cfg.num_virtual_tracks]
         tokens = tokens + init_tokens
-        tokens = nn.LayerNorm(name="output_norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, name="output_norm")(tokens)
         return nn.Dense(self.output_dim, name="flow_head")(tokens)
 
 
@@ -227,7 +226,7 @@ class BaseTrackerPredictor(nn.Module):
         r = cfg.corr_radius
         L = cfg.corr_levels
 
-        fmaps = nn.LayerNorm(name="fmap_norm")(fmaps)
+        fmaps = nn.LayerNorm(epsilon=1e-5, name="fmap_norm")(fmaps)
         qp = query_points / float(cfg.track_stride)
         coords = jnp.tile(qp[:, None], (1, S, 1, 1))  # (B, S, N, 2)
 
@@ -245,11 +244,15 @@ class BaseTrackerPredictor(nn.Module):
             cur = cur.reshape(Bc, Sc, cur.shape[1], cur.shape[2], Cc)
             pyramid.append(cur)
 
-        dy, dx = jnp.meshgrid(
+        ga, gb = jnp.meshgrid(
             jnp.linspace(-r, r, 2 * r + 1), jnp.linspace(-r, r, 2 * r + 1),
             indexing="ij",
         )
-        delta = jnp.stack([dx, dy], axis=-1).reshape(-1, 2)  # ((2r+1)^2, 2) (x,y)
+        # the reference stacks meshgrid(dy, dx, 'ij') and adds it to (x, y)
+        # coordinates (blocks.py:184 + corr_sample) — so the window's ROW
+        # index drives the X offset; stacking (dx, dy) would transpose the
+        # flattened window order corr_mlp's pretrained weights expect
+        delta = jnp.stack([ga, gb], axis=-1).reshape(-1, 2)  # (x=row, y=col)
 
         corr_mlp = TrackMlp(C, cfg.track_hidden_size, name="corr_mlp")
         updater = EfficientUpdateFormer(
@@ -258,7 +261,7 @@ class BaseTrackerPredictor(nn.Module):
         query_ref_token = self.param(
             "query_ref_token", nn.initializers.normal(1.0), (1, 2, 3 * C + 4)
         )
-        ffeat_norm = nn.GroupNorm(num_groups=1, name="ffeat_norm")
+        ffeat_norm = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="ffeat_norm")
         ffeat_updater = nn.Dense(C, name="ffeat_updater")
         vis_predictor = nn.Dense(1, name="vis_predictor")
         conf_predictor = nn.Dense(1, name="conf_predictor")

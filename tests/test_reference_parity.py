@@ -232,3 +232,65 @@ def test_reference_fast_nn_matches_gd3d():
         if v
     }
     assert got_pairs == ref_pairs
+
+
+def test_reference_vggt_tracker_matches_gd3d():
+    """The ACTUAL reference BaseTrackerPredictor (CoTracker-style corr
+    pyramid + EfficientUpdateFormer, track_modules/base_track_predictor.py)
+    vs gd3d's, through the real weight converter — locks the corr-window
+    flattening order (blocks.py:184 stacks meshgrid(dy, dx, 'ij') onto
+    (x, y) coords: the row index drives the X offset), the flow embedding,
+    and the iterative update."""
+    import jax.numpy as jnp
+
+    _ref_paths()
+    from vggt.heads.track_modules.base_track_predictor import (
+        BaseTrackerPredictor as RefTracker,
+    )
+
+    from gd3d.models.vggt.config import VggtConfig
+    from gd3d.models.vggt.track import BaseTrackerPredictor
+    from gd3d.teachers.vggt import convert_vggt_tracker
+
+    cfg = VggtConfig(
+        img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2,
+        num_register_tokens=4, dino_depth=2, dino_num_heads=2,
+        camera_trunk_depth=1, camera_iterations=1, dpt_features=8,
+        dpt_out_channels=(8, 8, 8, 8), dpt_hooks=(0, 0, 1, 1),
+        track_features=8, track_iters=2, track_stride=2, corr_levels=2,
+        corr_radius=1, track_hidden_size=16, track_depth=2,
+        # the reference BaseTrackerPredictor does not expose this; its
+        # EfficientUpdateFormer default is 64
+        num_virtual_tracks=64, track_max_scale=518.0,
+    )
+    torch.manual_seed(3)
+    ref = RefTracker(
+        stride=cfg.track_stride, corr_levels=cfg.corr_levels,
+        corr_radius=cfg.corr_radius, latent_dim=cfg.track_features,
+        hidden_size=cfg.track_hidden_size, depth=cfg.track_depth,
+    ).eval()
+    state = {f"track_head.tracker.{k}": v.detach().numpy()
+             for k, v in ref.state_dict().items()}
+    params = convert_vggt_tracker(state, cfg)
+
+    rng = np.random.RandomState(7)
+    B, S, HH, WW, C = 1, 2, 8, 8, cfg.track_features
+    fmaps = rng.randn(B, S, HH, WW, C).astype(np.float32)
+    qp = (rng.rand(B, 3, 2) * 12).astype(np.float32)
+
+    with torch.no_grad():
+        tpreds, tvis, tconf = ref(
+            torch.from_numpy(qp),
+            torch.from_numpy(fmaps).permute(0, 1, 4, 2, 3),
+            iters=cfg.track_iters,
+        )
+    preds, vis, conf = BaseTrackerPredictor(cfg).apply(
+        {"params": params}, jnp.asarray(qp), jnp.asarray(fmaps),
+        iters=cfg.track_iters,
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds[-1]), tpreds[-1].numpy(), rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(vis), tvis.numpy(), rtol=3e-3, atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(conf), tconf.numpy(), rtol=3e-3, atol=3e-4)

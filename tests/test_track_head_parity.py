@@ -220,11 +220,13 @@ class TTracker(nn.Module):
                 0, 1, 3, 4, 2
             )
             pyramid.append(cur)
-        dy, dx = torch.meshgrid(
-            torch.linspace(-r, r, 2 * r + 1), torch.linspace(-r, r, 2 * r + 1),
-            indexing="ij",
-        )
-        delta = torch.stack([dx, dy], -1).reshape(-1, 2)
+        # EXACT reference construction (vggt blocks.py:181-184): stack
+        # meshgrid(dy, dx, 'ij') and add to (x, y) coords — the row index
+        # drives the X offset (the transposed-window quirk)
+        dy = torch.linspace(-r, r, 2 * r + 1)
+        dx = torch.linspace(-r, r, 2 * r + 1)
+        delta = torch.stack(
+            torch.meshgrid(dy, dx, indexing="ij"), -1).reshape(-1, 2)
 
         pos_grid = t_sincos_grid(3 * C + 4, HH, WW)
         spe = torch.stack(
