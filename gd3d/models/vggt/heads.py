@@ -133,11 +133,15 @@ class VggtResidualConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding="SAME", name="conv1")(out)
+        # the reference's activation is nn.ReLU(inplace=True)
+        # (_make_fusion_block, dpt_head.py:315): `out = relu(x)` mutates x
+        # itself, so the residual skip_add at :399 actually adds relu(x),
+        # NOT x — reproduce that quirk
+        xr = nn.relu(x)
+        out = nn.Conv(self.features, (3, 3), padding="SAME", name="conv1")(xr)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding="SAME", name="conv2")(out)
-        return out + x
+        return out + xr
 
 
 class VggtFusionBlock(nn.Module):
@@ -180,7 +184,7 @@ class VggtDPTHead(nn.Module):
         psi = cfg.patch_start_idx
         out_ch = cfg.dpt_out_channels
 
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         feats = []
         for idx, hook in enumerate(cfg.dpt_hooks):
             t = tokens_list[hook][:, :, psi:]  # (B, S, P, 2C)

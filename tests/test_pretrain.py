@@ -117,6 +117,7 @@ def test_rendered_pretrain_batch_geometry(tmp_path):
         assert np.median(d) < 0.05, d
 
 
+@pytest.mark.slow
 def test_pretrain_cli_smoke(tmp_path):
     import json
 
@@ -132,6 +133,7 @@ def test_pretrain_cli_smoke(tmp_path):
     assert (tmp_path / "run" / "params_final.npz").exists()
 
 
+@pytest.mark.slow
 def test_pretrain_cli_resume_reproduces_metrics(tmp_path):
     """4 straight steps vs 2 steps + kill + resume: the step-2..3 metric
     stream must be identical (batches are seeded per step; state_last.npz
@@ -162,6 +164,7 @@ def test_pretrain_cli_resume_reproduces_metrics(tmp_path):
         assert abs(a["loss"] - b["loss"]) < 1e-4, (a, b)
 
 
+@pytest.mark.slow
 def test_pretrain_step_dp_mesh_matches_single_device():
     """DP over the 8-device CPU mesh reproduces the single-device step:
     params/opt_state replicated, batch sharded on `data`, XLA inserts the

@@ -294,3 +294,93 @@ def test_reference_vggt_tracker_matches_gd3d():
         np.asarray(vis), tvis.numpy(), rtol=3e-3, atol=3e-4)
     np.testing.assert_allclose(
         np.asarray(conf), tconf.numpy(), rtol=3e-3, atol=3e-4)
+
+
+_VGGT_TINY_KW = dict(
+    img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2,
+    num_register_tokens=4, dino_depth=2, dino_num_heads=2,
+    camera_trunk_depth=1, camera_iterations=1, dpt_features=8,
+    dpt_out_channels=(8, 8, 8, 8), dpt_hooks=(0, 0, 1, 1),
+    track_features=8, track_iters=2, track_stride=2, corr_levels=2,
+    corr_radius=1, track_hidden_size=16, track_depth=2,
+    num_virtual_tracks=64, track_max_scale=518.0,
+)
+
+
+def test_reference_vggt_camera_head_matches_gd3d():
+    """The ACTUAL reference CameraHead (adaLN-modulated trunk,
+    camera_head.py:26-162) vs gd3d through the weight converter."""
+    import jax.numpy as jnp
+
+    _ref_paths()
+    from vggt.heads.camera_head import CameraHead as RefCameraHead
+
+    from gd3d.models.vggt.config import VggtConfig
+    from gd3d.models.vggt.heads import CameraHead
+    from gd3d.teachers.vggt import convert_vggt_camera_head
+
+    cfg = VggtConfig(**_VGGT_TINY_KW)
+    torch.manual_seed(5)
+    ref = RefCameraHead(
+        dim_in=2 * cfg.embed_dim, trunk_depth=cfg.camera_trunk_depth,
+        num_heads=cfg.num_heads,
+    ).eval()
+    state = {f"camera_head.{k}": v.detach().numpy()
+             for k, v in ref.state_dict().items()}
+    params = convert_vggt_camera_head(state, cfg)
+
+    rng = np.random.RandomState(5)
+    tokens = rng.randn(1, 2, 9, 2 * cfg.embed_dim).astype(np.float32)
+    with torch.no_grad():
+        want = ref([torch.from_numpy(tokens)],
+                   num_iterations=cfg.camera_iterations)[-1].numpy()
+    got = np.asarray(CameraHead(cfg).apply(
+        {"params": params}, jnp.asarray(tokens),
+        num_iterations=cfg.camera_iterations))
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-5)
+
+
+def test_reference_vggt_dpt_head_matches_gd3d():
+    """The ACTUAL reference DPTHead (dpt_head.py:21-305) vs gd3d through
+    the weight converter — locks projects/resize layers, fusion blocks,
+    pos-embed grids, and activations."""
+    import jax.numpy as jnp
+
+    _ref_paths()
+    from vggt.heads.dpt_head import DPTHead as RefDPTHead
+
+    from gd3d.models.vggt.config import VggtConfig
+    from gd3d.models.vggt.heads import VggtDPTHead
+    from gd3d.teachers.vggt import _convert_vggt_dpt
+
+    cfg = VggtConfig(**_VGGT_TINY_KW)
+    torch.manual_seed(6)
+    ref = RefDPTHead(
+        dim_in=2 * cfg.embed_dim, patch_size=cfg.patch_size, output_dim=2,
+        activation="exp", conf_activation="expp1",
+        features=cfg.dpt_features, out_channels=list(cfg.dpt_out_channels),
+        intermediate_layer_idx=list(cfg.dpt_hooks),
+    ).eval()
+    state = {f"depth_head.{k}": v.detach().numpy()
+             for k, v in ref.state_dict().items()}
+    params = _convert_vggt_dpt(state, "depth_head", cfg)
+
+    rng = np.random.RandomState(6)
+    tokens = [rng.randn(1, 2, 9, 2 * cfg.embed_dim).astype(np.float32)
+              for _ in range(cfg.depth)]
+    images = rng.rand(1, 2, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        tw_pts, tw_conf = ref(
+            [torch.from_numpy(t) for t in tokens],
+            torch.from_numpy(images), patch_start_idx=5)
+    pts, conf = VggtDPTHead(
+        cfg, output_dim=2, activation="exp", conf_activation="expp1",
+        features=cfg.dpt_features,
+    ).apply({"params": params},
+            [jnp.asarray(t) for t in tokens], (28, 28))
+    np.testing.assert_allclose(
+        np.asarray(pts).reshape(1, 2, 28, 28, 1), tw_pts.numpy(),
+        rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(conf).reshape(1, 2, 28, 28), tw_conf.numpy(),
+        rtol=5e-3, atol=5e-4)

@@ -203,6 +203,7 @@ def test_train_cli_multistep_rounds_up_with_fresh_batches(tmp_path):
     assert all(np.isfinite(r["loss"]) for r in recs if "step" in r)
 
 
+@pytest.mark.slow
 def test_train_cli_resume_reproduces_metrics(tmp_path):
     """Run 3 epochs straight vs 2 epochs + resume: the epoch-2 loss stream
     must be identical (synthetic data is seeded per (epoch, step))."""

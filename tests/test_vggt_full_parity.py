@@ -335,10 +335,22 @@ class TVDPT(nn.Module):
         ).reshape(ph, pw, C).float()
         return x + 0.1 * emb.permute(2, 0, 1)[None]
 
+    @staticmethod
+    def _rcu_inplace(m, x):
+        # VGGT's _make_fusion_block passes nn.ReLU(inplace=True)
+        # (dpt_head.py:315): `out = relu(x)` mutates x, so the residual
+        # add at :399 actually adds relu(x) — unlike the dust3r DPT
+        # (nn.ReLU(False)) that TFusion transcribes
+        xr = F.relu(x)
+        out = m.conv1(xr)
+        out = F.relu(out)
+        out = m.conv2(out)
+        return out + xr
+
     def _fusion(self, fb, x, skip=None, size=None):
         if skip is not None:
-            x = x + fb._rcu(fb.resConfUnit1, skip)
-        x = fb._rcu(fb.resConfUnit2, x)
+            x = x + self._rcu_inplace(fb.resConfUnit1, skip)
+        x = self._rcu_inplace(fb.resConfUnit2, x)
         if size is None:
             x = F.interpolate(x, scale_factor=2, mode="bilinear",
                               align_corners=True)
