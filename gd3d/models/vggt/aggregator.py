@@ -75,7 +75,7 @@ class AlternatingPair(nn.Module):
         tokens, _ = VggtBlock(
             C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
             qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
-            eps=cfg.layernorm_eps, name="frame",
+            eps=cfg.agg_layernorm_eps, name="frame",
         )(tokens, pos=pos)
         frame_inter = tokens.reshape(self.B, self.S, P, C)
 
@@ -91,7 +91,7 @@ class AlternatingPair(nn.Module):
         gtokens, amap = VggtBlock(
             C, cfg.num_heads, cfg.mlp_ratio, cfg.init_values,
             qk_norm=cfg.qk_norm, use_rope=True, rope_freq=cfg.rope_freq,
-            eps=cfg.layernorm_eps, sp_mesh=self.sp_mesh,
+            eps=cfg.agg_layernorm_eps, sp_mesh=self.sp_mesh,
             sp_axis=self.sp_axis, sp_batch_axis=ba, name="global",
         )(gtokens, pos=gpos, return_attn=export, temperature=temperature)
         gtokens = self._constrain(gtokens, ba, None, None)

@@ -27,7 +27,12 @@ class VggtConfig:
     dino_depth: int = 24
     dino_num_heads: int = 16
     dino_init_values: float = 1.0
+    # DINOv2 blocks: vision_transformer.py partials LayerNorm(eps=1e-6);
+    # the AGGREGATOR's frame/global blocks (and the camera-head trunk)
+    # take torch's DEFAULT nn.LayerNorm -> eps 1e-5 (aggregator.py:80-107
+    # passes no norm_layer override)
     layernorm_eps: float = 1e-6
+    agg_layernorm_eps: float = 1e-5
 
     # heads
     camera_trunk_depth: int = 4

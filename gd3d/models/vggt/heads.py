@@ -63,7 +63,10 @@ class CameraHead(nn.Module):
         cfg = self.cfg
         dim = 2 * cfg.embed_dim
         pose_tokens = last_tokens[:, :, 0]  # (B, S, 2C)
-        pose_tokens = nn.LayerNorm(name="token_norm")(pose_tokens)
+        # camera_head.py:53-75: trunk Blocks + token/trunk norms all take
+        # torch DEFAULT nn.LayerNorm (eps 1e-5); only adaln pins 1e-6
+        pose_tokens = nn.LayerNorm(epsilon=1e-5, name="token_norm")(
+            pose_tokens)
         B, S, _ = pose_tokens.shape
 
         empty_pose = self.param(
@@ -73,10 +76,10 @@ class CameraHead(nn.Module):
         mod_dense = nn.Dense(3 * dim, name="poseLN_modulation")
         trunk_blocks = [
             VggtBlock(dim, cfg.num_heads, 4.0, init_values=0.01,
-                      name=f"trunk_{i}")
+                      eps=1e-5, name=f"trunk_{i}")
             for i in range(cfg.camera_trunk_depth)
         ]
-        trunk_norm = nn.LayerNorm(name="trunk_norm")
+        trunk_norm = nn.LayerNorm(epsilon=1e-5, name="trunk_norm")
         pose_branch = VggtMlp(9, dim // 2, name="pose_branch")
         adaln_norm = nn.LayerNorm(
             epsilon=1e-6, use_bias=False, use_scale=False, name="adaln_norm"

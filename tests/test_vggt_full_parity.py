@@ -27,14 +27,14 @@ TINY = VggtConfig(
 
 
 class TVAttn(nn.Module):
-    def __init__(self, dim, heads, qk_norm, rope):
+    def __init__(self, dim, heads, qk_norm, rope, eps=1e-6):
         super().__init__()
         self.qkv = nn.Linear(dim, 3 * dim)
         self.proj = nn.Linear(dim, dim)
         self.heads = heads
         hd = dim // heads
-        self.q_norm = nn.LayerNorm(hd, eps=1e-6) if qk_norm else nn.Identity()
-        self.k_norm = nn.LayerNorm(hd, eps=1e-6) if qk_norm else nn.Identity()
+        self.q_norm = nn.LayerNorm(hd, eps=eps) if qk_norm else nn.Identity()
+        self.k_norm = nn.LayerNorm(hd, eps=eps) if qk_norm else nn.Identity()
         self.rope = rope
         self.scale = hd**-0.5
 
@@ -64,11 +64,13 @@ class TVAttn(nn.Module):
 
 
 class TVBlock(nn.Module):
-    def __init__(self, dim, heads, qk_norm, rope, ls_init):
+    # the real aggregator/camera blocks take torch DEFAULT LayerNorm
+    # (eps 1e-5, aggregator.py:80-107); only the DINOv2 tower pins 1e-6
+    def __init__(self, dim, heads, qk_norm, rope, ls_init, eps=1e-5):
         super().__init__()
-        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
-        self.attn = TVAttn(dim, heads, qk_norm, rope)
-        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm1 = nn.LayerNorm(dim, eps=eps)
+        self.attn = TVAttn(dim, heads, qk_norm, rope, eps=eps)
+        self.norm2 = nn.LayerNorm(dim, eps=eps)
         mlp = nn.Module()
         mlp.fc1 = nn.Linear(dim, 4 * dim)
         mlp.fc2 = nn.Linear(4 * dim, dim)
@@ -102,7 +104,7 @@ class TAggregator(nn.Module):
             torch.randn(1, cfg.num_register_tokens, d) * 0.02
         )
         pe.blocks = nn.ModuleList(
-            [TVBlock(d, cfg.dino_num_heads, False, None, 1.0)
+            [TVBlock(d, cfg.dino_num_heads, False, None, 1.0, eps=1e-6)
              for _ in range(cfg.dino_depth)]
         )
         pe.norm = nn.LayerNorm(d, eps=1e-6)
