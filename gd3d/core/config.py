@@ -29,7 +29,12 @@ class StudentConfig:
     mlp_ratio: float = 4.0
     pretrain_img_size: int = 384  # pos-embed grid 24x24 (+1 cls)
     num_prefix_tokens: int = 1
-    layernorm_eps: float = 1e-6
+    # timm's CLIP ViT variants pass pre_norm=True and a PLAIN nn.LayerNorm
+    # (eps 1e-5): a norm_pre LayerNorm after the pos-embed add, and a
+    # bias-free patch-embed conv (timm vision_transformer.py:
+    # `bias=not pre_norm`)
+    pre_norm: bool = True
+    layernorm_eps: float = 1e-5
 
     # LoRA rank-4 on q,v of blocks[lora_start_block:]
     # (mast3r/vggt: blocks[4:]; me: last 4 blocks => start 8)

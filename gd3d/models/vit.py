@@ -281,6 +281,7 @@ class ViT(nn.Module):
             strides=(stride, stride),
             padding="VALID",
             dtype=cfg.dtype,
+            use_bias=not cfg.pre_norm,  # timm: `bias=not pre_norm`
             name="patch_embed",
         )(imgs)
         gh, gw = x.shape[1], x.shape[2]
@@ -297,6 +298,10 @@ class ViT(nn.Module):
         pos = resample_pos_embed(pos_embed, (gh, gw), cfg.num_prefix_tokens)
         x = jnp.concatenate([jnp.tile(cls_token, (B, 1, 1)), x], axis=1)
         x = x + pos
+        if cfg.pre_norm:
+            # timm CLIP ViTs apply a pre-blocks LayerNorm after the
+            # pos-embed add (VisionTransformer.norm_pre, pre_norm=True)
+            x = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="norm_pre")(x)
         if cfg.bf16_stream and cfg.dtype == jnp.bfloat16:
             # bf16 residual stream (torch-autocast semantics): LayerNorms
             # below still compute/emit fp32 (their params are fp32 and flax

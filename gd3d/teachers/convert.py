@@ -73,6 +73,8 @@ def convert_timm_vit(state: Mapping, cfg: StudentConfig) -> Dict:
         "patch_embed": _conv(state, "patch_embed.proj"),
         "norm": _layernorm(state, "norm"),
     }
+    if "norm_pre.weight" in state:  # CLIP variants: pre_norm=True
+        params["norm_pre"] = _layernorm(state, "norm_pre")
 
     def block_tree(i: int) -> Dict:
         p = f"blocks.{i}"

@@ -57,9 +57,9 @@ class TMlp(nn.Module):
 class TBlock(nn.Module):
     def __init__(self, dim, heads):
         super().__init__()
-        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm1 = nn.LayerNorm(dim)  # timm CLIP: plain LayerNorm (1e-5)
         self.attn = TAttn(dim, heads)
-        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim)
         self.mlp = TMlp(dim)
 
     def forward(self, x):
@@ -71,7 +71,8 @@ class TBlock(nn.Module):
 class TPatchEmbed(nn.Module):
     def __init__(self, dim, ps):
         super().__init__()
-        self.proj = nn.Conv2d(3, dim, ps, ps)
+        # timm CLIP variants: bias=not pre_norm -> no patch-embed bias
+        self.proj = nn.Conv2d(3, dim, ps, ps, bias=False)
 
 
 class TViT(nn.Module):
@@ -85,7 +86,9 @@ class TViT(nn.Module):
         self.blocks = nn.ModuleList(
             [TBlock(dim, cfg.num_heads) for _ in range(cfg.depth)]
         )
-        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.norm = nn.LayerNorm(dim)
+        # timm CLIP: pre_norm=True adds a pre-blocks LayerNorm
+        self.norm_pre = nn.LayerNorm(dim)
         self.grid = g
 
     def forward_features(self, x):
@@ -100,6 +103,7 @@ class TViT(nn.Module):
             pos = torch.cat([pre, p.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)], 1)
         x = torch.cat([self.cls_token.expand(x.shape[0], -1, -1), x], dim=1)
         x = x + pos
+        x = self.norm_pre(x)
         for blk in self.blocks:
             x = blk(x)
         return self.norm(x)
