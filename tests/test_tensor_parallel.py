@@ -190,7 +190,7 @@ def test_vggt_teacher_tp_matches_single_device():
                 p_tp, shard_batch(mesh, rgb), 0.9))
     for k in ref:
         np.testing.assert_allclose(
-            np.asarray(ref[k]), np.asarray(got[k]), rtol=5e-4, atol=1e-5,
+            np.asarray(ref[k]), np.asarray(got[k]), rtol=5e-4, atol=5e-5,
             err_msg=k)
 
 
