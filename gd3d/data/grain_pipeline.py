@@ -40,11 +40,14 @@ def make_grain_loader(
 
         def __getitem__(self, idx):
             s = dataset[int(idx)]
-            s = {k: v for k, v in s.items()
-                 if v is not None and not isinstance(v, str)}
+            # transform FIRST, strip strings/Nones AFTER — matching the
+            # fallback PrefetchLoader (transform sees the full sample,
+            # collate drops unbatchable values), so the two loaders accept
+            # the same transforms
             if transform:
                 s = transform(s)
-            return s
+            return {k: v for k, v in s.items()
+                    if v is not None and not isinstance(v, str)}
 
     if shard_index is None or shard_count is None:
         import jax

@@ -28,10 +28,15 @@ def pad_keypoints(kps: np.ndarray, pts3d: np.ndarray, capacity: int,
             valid[:capacity],
         )
     pad = capacity - n
+    # cast BEFORE concatenate: float64 inputs would otherwise promote the
+    # padded branch while the truncation branch casts, giving per-sample
+    # dtype drift across the batch
     return (
-        np.concatenate([kps, np.zeros((pad, kps.shape[1]), np.float32)]),
-        np.concatenate([pts3d, np.zeros((pad, pts3d.shape[1]), np.float32)]),
-        np.concatenate([valid, np.zeros((pad,), bool)]),
+        np.concatenate([kps.astype(np.float32),
+                        np.zeros((pad, kps.shape[1]), np.float32)]),
+        np.concatenate([pts3d.astype(np.float32),
+                        np.zeros((pad, pts3d.shape[1]), np.float32)]),
+        np.concatenate([valid.astype(bool), np.zeros((pad,), bool)]),
     )
 
 
@@ -126,6 +131,7 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        err: list = []
 
         def worker():
             try:
@@ -138,7 +144,9 @@ class PrefetchLoader:
                     if self.transform:
                         samples = [self.transform(s) for s in samples]
                     q.put(collate(samples))
-            finally:
+            except BaseException as e:  # re-raise on the CONSUMER side —
+                err.append(e)           # a swallowed decode error would
+            finally:                    # silently truncate the epoch
                 q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -146,5 +154,7 @@ class PrefetchLoader:
         while True:
             item = q.get()
             if item is stop:
+                if err:
+                    raise err[0]
                 break
             yield item

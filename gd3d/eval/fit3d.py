@@ -48,6 +48,11 @@ def compare(
 ) -> Dict[str, pd.DataFrame]:
     """Side-by-side metric tables {eval}/{model} like evaluate_timm_fit3d."""
     results: Dict[str, pd.DataFrame] = {}
+    if vanilla_ckpt is None:
+        # the reference baseline is the PRETRAINED backbone
+        # (evaluate_timm_fit3d); random weights would masquerade as it
+        print("WARNING: no --vanilla-ckpt; the 'vanilla' column uses "
+              "RANDOM weights and is not the reference baseline")
     models = {
         "fit3d": load_fit3d_student(fit3d_ckpt),
         "vanilla": load_fit3d_student(vanilla_ckpt),

@@ -23,11 +23,14 @@ def patch_mask_from_kps(
     """
     ph, pw = H // patch_size, W // patch_size
     num_patches = ph * pw
+    # bound by the PATCH GRID, not (H, W): when H/W are not multiples of
+    # patch_size, keypoints in the residual border band would map to
+    # patch_idx >= ph*pw and be silently dropped by the scatter
     in_bounds = (
         (kp_xy[:, 0] >= 0)
-        & (kp_xy[:, 0] < W)
+        & (kp_xy[:, 0] < pw * patch_size)
         & (kp_xy[:, 1] >= 0)
-        & (kp_xy[:, 1] < H)
+        & (kp_xy[:, 1] < ph * patch_size)
     )
     if valid is not None:
         in_bounds = in_bounds & valid

@@ -51,9 +51,13 @@ def visualize_matching_pairs(
     if valid is not None:
         kp1 = kp1[np.asarray(valid).reshape(-1)]
         kp2 = kp2[np.asarray(valid).reshape(-1)]
-    colors = plt.cm.hsv(np.linspace(0, 1, max(len(kp1), 1)))
-    ax[0].scatter(kp1[:, 0], kp1[:, 1], c=colors[: len(kp1)], s=4)
-    ax[1].scatter(kp2[:, 0], kp2[:, 1], c=colors[: len(kp2)], s=4)
+    # match pairs positionally: draw only the common prefix so unequal
+    # paddings can't crash the scatter with a color/point length mismatch
+    n = min(len(kp1), len(kp2))
+    kp1, kp2 = kp1[:n], kp2[:n]
+    colors = plt.cm.hsv(np.linspace(0, 1, max(n, 1)))
+    ax[0].scatter(kp1[:, 0], kp1[:, 1], c=colors[:n], s=4)
+    ax[1].scatter(kp2[:, 0], kp2[:, 1], c=colors[:n], s=4)
     fig.subplots_adjust(left=0, right=1, top=1, bottom=0, wspace=0)
     path = os.path.join(output_dir, f"match_epoch{epoch}_batch{batch_idx}.png")
     fig.savefig(path)
