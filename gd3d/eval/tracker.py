@@ -201,9 +201,12 @@ def compute_occlusion(
         dists = np.linalg.norm(
             green - trajectories[n][vis][:, None, :], axis=-1
         )  # (A, T): dist of cycle prediction to source trajectory
-        anchor_median_err = np.median(dists[:, vis], axis=0)
-        th = anchor_median_err.max()
-        med = np.median(dists, axis=0)  # (T,)
+
+        def med0(a):  # torch.median: LOWER middle, not the numpy average
+            return np.sort(a, axis=0)[(a.shape[0] - 1) // 2]
+
+        th = med0(dists[:, vis]).max()
+        med = med0(dists)  # (T,)
         occ[n] = (med > th) | (cos_sims[n] < cfg.cos_threshold)
     return occ
 

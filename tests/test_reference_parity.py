@@ -436,3 +436,44 @@ def test_reference_vggt_aggregator_matches_gd3d():
     np.testing.assert_allclose(
         np.asarray(got_attn), want_attn.mean(1).numpy(),
         rtol=3e-3, atol=3e-5)
+
+
+def test_reference_occlusion_rule_matches_gd3d():
+    """The DINO-tracker occlusion rule (tracking_model.py:544-553:
+    median cycle-consistency distance over VISIBLE anchors vs the max
+    anchor median error, OR'ed with the cosine gate) — called directly on
+    the reference method (it reads no state; thresholds are arguments)
+    vs gd3d's batched compute_occlusion."""
+    _ref_paths()
+    # tracking_model imports torchvision (absent here) only for its video
+    # transforms, which this test never touches — stub it like timm
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    from utils.tracking_model import ModelInference
+
+    from gd3d.eval.tracker import TrackerConfig, compute_occlusion
+
+    rng = np.random.RandomState(11)
+    N, T = 5, 12
+    trajs = rng.rand(N, T, 2).astype(np.float32) * 50
+    cos = rng.rand(N, T).astype(np.float32)
+    anchors = rng.rand(N, T, T, 2).astype(np.float32) * 50
+    cfg = TrackerConfig(patch_size=14, stride=7, video_h=56, video_w=56,
+                        anchor_cos_threshold=0.5, cos_threshold=0.4)
+
+    got = compute_occlusion(trajs, cos, anchors, cfg)
+    for n in range(N):
+        vis = cos[n] >= cfg.anchor_cos_threshold
+        if vis.sum() == 0:
+            continue  # gd3d's guard; the reference caller never hits this
+        want = ModelInference.compute_occ_pred_for_qp(
+            None,
+            torch.from_numpy(anchors[n][vis]),
+            torch.from_numpy(trajs[n]),
+            torch.from_numpy(cos[n]),
+            cfg.anchor_cos_threshold, cfg.cos_threshold,
+        ).numpy()
+        np.testing.assert_array_equal(got[n], want, err_msg=f"qp {n}")
