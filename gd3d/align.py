@@ -675,7 +675,8 @@ def scene_from_mast3r(
     pairs: Optional[Sequence[Tuple[int, int]]] = None,
     temperature: float = 1.0,
     dtype: Optional[str] = None,
-) -> Scene:
+    return_desc: bool = False,
+):
     """Build a Scene by running the frozen MASt3R teacher over image pairs.
 
     images (N, H, W, 3) in [-1, 1] (MASt3R format, W >= H). pairs defaults
@@ -684,6 +685,10 @@ def scene_from_mast3r(
     all ordered pairs: edge (i, j) consumes pts3d_1 (img i in frame i) and
     pts3d_2_from_1 (img j in frame i) — the dust3r pred_i/pred_j
     convention the global aligner optimizes over.
+
+    With return_desc, also returns the per-edge descriptor grids
+    (desc_i, desc_j) — (E, H, W, D) — for reciprocal matching (the COLMAP
+    database export needs discrete correspondences, not dense maps).
     """
     n = images.shape[0]
     if pairs is None:
@@ -694,7 +699,7 @@ def scene_from_mast3r(
         params, images[ii], images[jj], temperature, dtype=dtype)
     E = len(pairs)
     hw = tuple(images.shape[1:3])
-    return Scene(
+    scene = Scene(
         edges=np.asarray(pairs, np.int32).reshape(E, 2),
         pred_i=feats["pts3d_1"].reshape(E, -1, 3),
         pred_j=feats["pts3d_2_from_1"].reshape(E, -1, 3),
@@ -702,6 +707,9 @@ def scene_from_mast3r(
         conf_j=feats["conf_2"].reshape(E, -1),
         hw=hw, n_imgs=n,
     )
+    if return_desc:
+        return scene, np.asarray(feats["desc_1"]), np.asarray(feats["desc_2"])
+    return scene
 
 
 def align_pair(scene: Scene) -> Dict[str, np.ndarray]:

@@ -56,6 +56,15 @@ def parse_args(argv=None):
     p.add_argument("--colmap", action="store_true",
                    help="also export the scene as a COLMAP text model "
                         "(cameras/images/points3D.txt; dense scenes only)")
+    p.add_argument("--colmap-db", action="store_true",
+                   help="also write a COLMAP matching database "
+                        "(database.db: reciprocal-NN correspondences as "
+                        "keypoints/matches + pose/intrinsic priors — run "
+                        "COLMAP's point_triangulator/BA on top)")
+    p.add_argument("--db-subsample", type=int, default=8,
+                   help="correspondence grid stride for --colmap-db")
+    p.add_argument("--min-len-track", type=int, default=2,
+                   help="drop --colmap-db tracks with fewer observations")
     p.add_argument("--ply", action="store_true",
                    help="also write a confidence-filtered colored "
                         "pointcloud.ply")
@@ -122,7 +131,12 @@ def main(argv=None) -> None:
         pairs = None  # scene_from_mast3r's complete-graph fast path
     else:
         pairs = make_pair_indices(n, graph, prefilter=args.pair_filter)
-    scene = scene_from_mast3r(teacher, params, images, pairs=pairs)
+    desc_i = desc_j = None
+    if args.colmap_db:
+        scene, desc_i, desc_j = scene_from_mast3r(
+            teacher, params, images, pairs=pairs, return_desc=True)
+    else:
+        scene = scene_from_mast3r(teacher, params, images, pairs=pairs)
     sparse_k = args.sparse
     if sparse_k < 0:  # auto: dense only for small scenes
         H_im, W_im = scene.hw
@@ -181,6 +195,37 @@ def main(argv=None) -> None:
                 confidence=conf, min_conf=args.min_conf,
                 image_names=[Path(f).name for f in files])
             print(f"COLMAP text model -> {outdir / 'colmap'}")
+
+    if args.colmap_db:
+        import jax.numpy as _jnp
+
+        from gd3d.colmap_db import write_colmap_database
+        from gd3d.distill.keypoints import reciprocal_nn_grid
+
+        H_im, W_im = scene.hw
+        matches = {}
+        for e, (i, j) in enumerate(map(tuple, scene.edges)):
+            i, j = int(i), int(j)
+            if i >= j:  # one direction per unordered pair
+                continue
+            xy1, xy2, ok = reciprocal_nn_grid(
+                _jnp.asarray(desc_i[e]), _jnp.asarray(desc_j[e]),
+                H_im, W_im, subsample=args.db_subsample)
+            xy1, xy2, ok = map(np.asarray, (xy1, xy2, ok))
+            xy1, xy2 = xy1[ok], xy2[ok]
+            px1 = np.stack([xy1 % W_im, xy1 // W_im], -1).astype(np.float32)
+            px2 = np.stack([xy2 % W_im, xy2 // W_im], -1).astype(np.float32)
+            matches[(i, j)] = (px1 + 0.5, px2 + 0.5)  # pixel centers
+        stats = write_colmap_database(
+            str(outdir / "database.db"),
+            [Path(f).name for f in files], scene.hw, matches,
+            focals=np.asarray(out["focals"]),
+            principal_points=np.asarray(out["principal_points"]),
+            poses_c2w=np.asarray(out["poses"]),
+            min_len_track=args.min_len_track)
+        print(f"COLMAP database: {stats['images']} images, "
+              f"{stats['keypoints']} keypoints, {stats['matches']} matches "
+              f"-> {outdir / 'database.db'}")
 
     if args.ply:
         pts = np.asarray(out["pts3d"]).reshape(-1, 3)
