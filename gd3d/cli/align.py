@@ -68,6 +68,10 @@ def parse_args(argv=None):
     p.add_argument("--ply", action="store_true",
                    help="also write a confidence-filtered colored "
                         "pointcloud.ply")
+    p.add_argument("--html", action="store_true",
+                   help="also write scene.html — a self-contained "
+                        "browser viewer (points + camera frusta, no "
+                        "server/deps; the headless gradio-demo analogue)")
     p.add_argument("--min-conf", type=float, default=1.5,
                    help="confidence threshold for the .ply export")
     p.add_argument("--tiny", action="store_true",
@@ -227,7 +231,7 @@ def main(argv=None) -> None:
               f"{stats['keypoints']} keypoints, {stats['matches']} matches "
               f"-> {outdir / 'database.db'}")
 
-    if args.ply:
+    if args.ply or args.html:
         pts = np.asarray(out["pts3d"]).reshape(-1, 3)
         rgb = ((np.asarray(images) + 1) * 127.5).clip(0, 255).astype(
             np.uint8).reshape(n, -1, 3)
@@ -238,6 +242,16 @@ def main(argv=None) -> None:
         cols = rgb.reshape(-1, 3)
         keep = conf.reshape(-1) > args.min_conf
         pts, cols = pts[keep], cols[keep]
+
+    if args.html:
+        from gd3d.utils.html_viewer import write_html_viewer
+
+        html = write_html_viewer(
+            str(outdir / "scene.html"), pts, cols,
+            np.asarray(out["poses"]), np.asarray(out["focals"]))
+        print(f"browser viewer -> {html}")
+
+    if args.ply:
         ply = outdir / "pointcloud.ply"
         with open(ply, "w") as f:
             f.write(

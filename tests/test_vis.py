@@ -64,3 +64,21 @@ def test_visualize_tracking_results(tmp_path):
     assert len(paths) == T
     for p in paths:
         _readable(p)
+
+
+def test_html_viewer_writes_standalone_page(tmp_path):
+    from gd3d.utils.html_viewer import write_html_viewer
+
+    rng = np.random.RandomState(0)
+    path = write_html_viewer(
+        str(tmp_path / "scene.html"),
+        rng.randn(500, 3), rng.randint(0, 255, (500, 3)),
+        np.tile(np.eye(4), (3, 1, 1)), np.array([300.0, 300.0, 300.0]),
+        max_points=200)
+    s = open(path).read()
+    assert "<canvas" in s and "PTS = [" in s and "CAMS = [" in s
+    assert "200 points, 3 cameras" in s
+    # subsampled payload: 200 pts x 6 floats
+    import json as _json
+    pts = _json.loads(s.split("PTS = ")[1].split(";")[0])
+    assert len(pts) == 200 * 6
