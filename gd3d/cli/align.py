@@ -248,7 +248,8 @@ def main(argv=None) -> None:
 
         html = write_html_viewer(
             str(outdir / "scene.html"), pts, cols,
-            np.asarray(out["poses"]), np.asarray(out["focals"]))
+            np.asarray(out["poses"]), np.asarray(out["focals"]),
+            hw=scene.hw)
         print(f"browser viewer -> {html}")
 
     if args.ply:

@@ -184,8 +184,13 @@ def _load_state(path, state_template):
 
     z = np.load(path)
     tmpl, treedef = jax.tree_util.tree_flatten(state_template)
+    stored = sum(1 for k in z.files if k.startswith("arr_"))
+    if stored != len(tmpl):
+        raise ValueError(
+            f"state layout mismatch: {path} stores {stored} leaves, the "
+            f"current model/optimizer has {len(tmpl)} — resume with the "
+            "same --tiny/--warmup/--grad-clip flags it was saved with")
     leaves = [z[f"arr_{i}"] for i in range(len(tmpl))]
-    assert len(leaves) == len(tmpl), "state layout mismatch"
     return jax.tree_util.tree_unflatten(treedef, leaves), int(z["step"])
 
 

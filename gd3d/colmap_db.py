@@ -159,6 +159,10 @@ def write_colmap_database(
     def keep(img, k) -> bool:
         return track_len[dsu.find((img, k))] >= min_len_track
 
+    import os
+
+    if os.path.exists(path):  # re-runs must replace, not trip CREATE TABLE
+        os.unlink(path)
     db = sqlite3.connect(path)
     try:
         db.executescript(_SCHEMA)

@@ -28,7 +28,12 @@ def make_mesh(
     n_model = max(1, n_model)
     if n_data <= 0:
         n_data = n // n_model
+    assert n_data >= 1, (
+        f"n_model={n_model} exceeds the {n} available devices")
     assert n_data * n_model <= n, f"mesh {n_data}x{n_model} > {n} devices"
+    if n_data * n_model < n:
+        print(f"WARNING: mesh {n_data}x{n_model} uses "
+              f"{n_data * n_model} of {n} devices")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

@@ -10,6 +10,7 @@ server, no network, no WebGL requirement.
 from __future__ import annotations
 
 import json
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -86,6 +87,7 @@ def write_html_viewer(
     colors: np.ndarray,
     poses_c2w: np.ndarray,
     focals: np.ndarray,
+    hw: Optional[Tuple[int, int]] = None,
     max_points: int = 60_000,
     frustum_scale: float = 0.08,
     seed: int = 0,
@@ -93,7 +95,9 @@ def write_html_viewer(
     """Write a standalone scene viewer.
 
     pts3d (P, 3) float; colors (P, 3) uint8; poses_c2w (N, 4, 4);
-    focals (N,). Subsamples to max_points for browser responsiveness.
+    focals (N,). With `hw`, frusta open at the true field of view
+    (half-width = (W/2)/f at unit depth); otherwise a nominal aspect.
+    Subsamples to max_points for browser responsiveness.
     """
     pts3d = np.asarray(pts3d, np.float32).reshape(-1, 3)
     colors = np.asarray(colors).reshape(-1, 3)
@@ -107,9 +111,14 @@ def write_html_viewer(
     cams = []
     for pose, f in zip(np.asarray(poses_c2w), np.asarray(focals)):
         s = frustum_scale
-        w = s * 0.8
+        if hw is not None and f > 0:
+            wx = s * (hw[1] / 2.0) / float(f)  # true FOV at unit depth
+            wy = s * (hw[0] / 2.0) / float(f)
+        else:
+            wx = wy = s * 0.8
         corners = np.array(
-            [[0, 0, 0], [-w, -w, s], [w, -w, s], [w, w, s], [-w, w, s]])
+            [[0, 0, 0], [-wx, -wy, s], [wx, -wy, s],
+             [wx, wy, s], [-wx, wy, s]])
         world = corners @ pose[:3, :3].T + pose[:3, 3]
         cams.append(world.reshape(-1))
     cams_flat = np.concatenate(cams) if cams else np.zeros(0)
