@@ -477,3 +477,98 @@ def test_reference_occlusion_rule_matches_gd3d():
             cfg.anchor_cos_threshold, cfg.cos_threshold,
         ).numpy()
         np.testing.assert_array_equal(got[n], want, err_msg=f"qp {n}")
+
+
+def test_reference_functions_utils_match_gd3d():
+    """The reference's hot geometry/feature utilities imported DIRECTLY
+    (utils/functions.py; kornia is stubbed — it is only used by
+    post_process_depth, untouched here) vs gd3d's ops:
+    interpolate_features, get_masked_patch_cost, get_coview_masks, and
+    the deterministic NMS keypoint set."""
+    import jax
+    import jax.numpy as jnp
+
+    _ref_paths()
+    for name in ("kornia", "kornia.filters", "kornia.morphology",
+                 "torchvision", "torchvision.transforms"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    # `from torchvision.transforms import functional` needs the attribute
+    sys.modules["torchvision.transforms"].functional = types.ModuleType(
+        "torchvision.transforms.functional")
+    if REF not in sys.path:
+        sys.path.append(REF)
+    from utils import functions as RF
+
+    from gd3d.ops.geometry import coview_masks
+    from gd3d.ops.interpolate import interpolate_features
+    from gd3d.ops.masks import masked_patch_cost, patch_mask_from_kps
+    from gd3d.ops.nms import sample_keypoints_nms
+
+    rng = np.random.RandomState(13)
+
+    # --- interpolate_features (bilinear patch-grid sampling, :55-76)
+    B, C, ph, pw = 2, 8, 6, 9
+    h, w = 84, 126
+    desc = rng.randn(B, C, ph, pw).astype(np.float32)
+    pts = (rng.rand(B, 16, 2) * [w - 14, h - 14] + 7).astype(np.float32)
+    with torch.no_grad():
+        want = RF.interpolate_features(
+            torch.from_numpy(desc), torch.from_numpy(pts), h, w,
+            normalize=True).numpy()
+    got = interpolate_features(
+        jnp.asarray(desc), jnp.asarray(pts), h, w, normalize=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    # --- get_masked_patch_cost (:402-430; masks are per-grid, shared
+    # across the batch dim)
+    N = ph * pw
+    cost = rng.randn(B, N, N).astype(np.float32)
+    m1 = rng.rand(N) > 0.4
+    m2 = rng.rand(N) > 0.4
+    with torch.no_grad():
+        want_c = RF.get_masked_patch_cost(
+            torch.from_numpy(cost), torch.from_numpy(m1),
+            torch.from_numpy(m2), use_softmax=True,
+            temperature=0.5).numpy()
+    got_c = masked_patch_cost(
+        jnp.asarray(cost), jnp.asarray(m1), jnp.asarray(m2),
+        use_softmax=True, temperature=0.5)
+    np.testing.assert_allclose(np.asarray(got_c), want_c,
+                               rtol=1e-4, atol=1e-6)
+
+    # --- get_coview_masks (:462-472, incl. the extrinsic1 quirk)
+    H, W = 24, 32
+    pm1 = (rng.rand(H, W, 3) + [0, 0, 1.5]).astype(np.float32)
+    pm2 = (rng.rand(H, W, 3) + [0, 0, 1.5]).astype(np.float32)
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    E1 = np.eye(3, 4, dtype=np.float32)
+    E2 = np.eye(3, 4, dtype=np.float32)
+    E2[0, 3] = 0.4
+    with torch.no_grad():
+        w1, w2 = RF.get_coview_masks(
+            torch.from_numpy(pm1), torch.from_numpy(pm2),
+            torch.from_numpy(K), torch.from_numpy(E1),
+            torch.from_numpy(K), torch.from_numpy(E2), (H, W))
+    g1, g2 = coview_masks(jnp.asarray(pm1), jnp.asarray(pm2),
+                          jnp.asarray(K), jnp.asarray(E1),
+                          jnp.asarray(K), jnp.asarray(E2), (H, W))
+    np.testing.assert_array_equal(np.asarray(g1), w1.numpy())
+    np.testing.assert_array_equal(np.asarray(g2), w2.numpy())
+
+    # --- sample_keypoints_nms: the DETERMINISTIC maxima set (:475-500);
+    # both sides subsample it randomly, so compare the full set with
+    # N large enough to keep everything
+    mask = rng.rand(H, W) > 0.3
+    conf = rng.rand(H, W).astype(np.float32)
+    with torch.no_grad():
+        want_kp = RF.sample_keypoints_nms(
+            torch.from_numpy(mask), torch.from_numpy(conf),
+            N=10_000, min_distance=2, device="cpu").numpy()
+    kps, valid = sample_keypoints_nms(
+        jnp.asarray(mask), jnp.asarray(conf), num=H * W,
+        min_distance=2, rng=jax.random.key(0))
+    got_set = {tuple(map(int, k)) for k in np.asarray(kps)[np.asarray(valid)]}
+    want_set = {tuple(map(int, k)) for k in want_kp}
+    assert got_set == want_set
