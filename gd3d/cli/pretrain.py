@@ -24,6 +24,29 @@ def parse_args(argv=None):
         description="Pretrain a Mast3r two-view model (regression + "
                     "matching objective) on synthetic dense-GT pairs")
     p.add_argument("--output", required=True)
+    p.add_argument("--objective", choices=("mast3r", "croco"),
+                   default="mast3r",
+                   help="mast3r: ConfLoss(Regr3D) + matching over the "
+                        "two-view Mast3r net (the default). croco: masked "
+                        "cross-view completion (MaskedMSE) over a "
+                        "CrocoPretrain net — the stage that produces the "
+                        "trunk DUSt3R starts from (croco/pretrain.py)")
+    p.add_argument("--mask-ratio", type=float, default=0.9,
+                   help="croco objective: fraction of img1 patches masked")
+    p.add_argument("--norm-pix-loss", action="store_true",
+                   help="croco objective: per-patch pixel normalization "
+                        "of the MSE target (criterion.py:27-31)")
+    p.add_argument("--export-dust3r", action="store_true",
+                   help="croco objective: also write the trunk remapped "
+                        "to the Mast3r/DUSt3R param layout "
+                        "(dust3r_trunk.npz) for downstream init")
+    p.add_argument("--init-trunk", default=None, metavar="TRUNK_NPZ",
+                   help="mast3r objective: initialize the encoder/decoder "
+                        "trunk from a dust3r_trunk.npz written by "
+                        "'--objective croco --export-dust3r' — the "
+                        "CroCo -> DUSt3R checkpoint handoff "
+                        "(dust3r/model.py:169-176); heads stay "
+                        "freshly initialized")
     p.add_argument("--data-root", default=None, metavar="RENDER_TREE",
                    help="train on an on-disk render tree (gd3d-render "
                         "output / Objaverse renderings: color_/depth_/"
@@ -79,27 +102,59 @@ def main(argv=None) -> None:
     from gd3d.models.mast3r import Mast3r, Mast3rConfig
 
     if args.data_root:
-        make_batch = functools.partial(rendered_pretrain_batch,
+        base_batch = functools.partial(rendered_pretrain_batch,
                                        args.data_root)
     else:
-        make_batch = synthetic_pretrain_batch
+        base_batch = synthetic_pretrain_batch
 
     if args.tiny:
         args.img = min(args.img, 64)
-        cfg = Mast3rConfig(
-            croco=CrocoConfig(patch_size=16, enc_embed_dim=32, enc_depth=2,
-                              enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
-                              dec_num_heads=2),
-            local_feat_dim=6, dpt_feature_dim=32, dpt_last_dim=16)
+        tiny_croco = CrocoConfig(
+            patch_size=16, enc_embed_dim=32, enc_depth=2,
+            enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
+            dec_num_heads=2)
+
+    if args.objective == "croco":
+        from gd3d.models.croco_pretrain import CrocoPretrain
+
+        ccfg = tiny_croco if args.tiny else CrocoConfig()
+        model = CrocoPretrain(ccfg, mask_ratio=args.mask_ratio)
+        n_patches = (args.img // ccfg.patch_size) ** 2
+        n_mask = int(args.mask_ratio * n_patches)
+
+        def make_batch(seed, batch_size, img, corres):
+            b = base_batch(seed, batch_size, img, corres)
+            # RandomMask semantics (masking.py:20-25), host-side rng
+            noise = np.random.RandomState(seed).rand(batch_size, n_patches)
+            mask1 = np.argsort(noise, axis=1, kind="stable") < n_mask
+            return {"img1": b["img1"], "img2": b["img2"], "mask1": mask1}
     else:
-        cfg = Mast3rConfig()
-    model = Mast3r(cfg)
+        if args.tiny:
+            cfg = Mast3rConfig(croco=tiny_croco, local_feat_dim=6,
+                               dpt_feature_dim=32, dpt_last_dim=16)
+        else:
+            cfg = Mast3rConfig()
+        model = Mast3r(cfg)
+        make_batch = base_batch
 
     batch = make_batch(args.seed, args.batch, args.img, args.corres)
     # jit the init: eager flax init dispatches every param-init op
     # separately (~40 ms each through the axon tunnel — see PERF_NOTES)
-    params = jax.jit(model.init)(jax.random.key(args.seed), batch["img1"],
-                                 batch["img2"])["params"]
+    if args.objective == "croco":
+        params = jax.jit(model.init)(
+            jax.random.key(args.seed), batch["img1"], batch["img2"],
+            batch["mask1"])["params"]
+    else:
+        params = jax.jit(model.init)(
+            jax.random.key(args.seed), batch["img1"],
+            batch["img2"])["params"]
+    if args.init_trunk:
+        if args.objective != "mast3r":
+            raise SystemExit("--init-trunk applies to the mast3r objective "
+                             "(it consumes what --objective croco "
+                             "--export-dust3r writes)")
+        params = _merge_trunk(params, _load_npz_tree(args.init_trunk))
+        print(f"trunk initialized from {args.init_trunk}")
     if args.warmup:
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=args.lr, warmup_steps=args.warmup,
@@ -129,9 +184,15 @@ def main(argv=None) -> None:
         params = jax.device_put(params, replicated(mesh))
         opt_state = jax.device_put(opt_state, replicated(mesh))
         shard = lambda b: shard_batch(mesh, b)  # noqa: E731
-    step = build_mast3r_pretrain_step(
-        model, tx, loss_kwargs={"matching_weight": args.matching_weight},
-        mesh=mesh)
+    if args.objective == "croco":
+        from gd3d.distill.pretrain import build_croco_pretrain_step
+
+        step = build_croco_pretrain_step(
+            model, tx, norm_pix_loss=args.norm_pix_loss, mesh=mesh)
+    else:
+        step = build_mast3r_pretrain_step(
+            model, tx, loss_kwargs={"matching_weight": args.matching_weight},
+            mesh=mesh)
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -150,15 +211,22 @@ def main(argv=None) -> None:
                 rec["lr"] = round(float(lr(s)), 8)
             mf.write(json.dumps(rec) + "\n")
             if s == 0 or (s + 1) % 10 == 0:
-                print(f"step {s}: loss={rec['loss']:.4f} "
-                      f"regr={rec['regr3d']:.4f} "
-                      f"match={rec['matching']:.4f} "
+                extra = ""
+                if "regr3d" in rec:
+                    extra = (f"regr={rec['regr3d']:.4f} "
+                             f"match={rec['matching']:.4f} ")
+                print(f"step {s}: loss={rec['loss']:.4f} {extra}"
                       f"({time.perf_counter() - t0:.1f}s)", flush=True)
             if args.ckpt_every and (s + 1) % args.ckpt_every == 0:
                 _save(out_dir / f"params_{s + 1:06d}.npz", params)
                 _save_state(out_dir / "state_last.npz",
                             (params, opt_state), s + 1)
     _save(out_dir / "params_final.npz", params)
+    if args.objective == "croco" and args.export_dust3r:
+        from gd3d.models.croco_pretrain import croco_to_dust3r
+
+        _save(out_dir / "dust3r_trunk.npz", croco_to_dust3r(params))
+        print(f"dust3r-layout trunk -> {out_dir / 'dust3r_trunk.npz'}")
     print(f"pretraining finished -> {out_dir}")
 
 
@@ -167,6 +235,33 @@ def _save(path, params) -> None:
 
     np.savez(path, **{"/".join(k): np.asarray(v)
                       for k, v in flatten_dict(params).items()})
+
+
+def _load_npz_tree(path) -> dict:
+    from flax.traverse_util import unflatten_dict
+
+    z = np.load(path)
+    return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+
+
+def _merge_trunk(params: dict, trunk: dict) -> dict:
+    """Overwrite the Mast3r trunk (encoder/decoder) leaves with a
+    CroCo-pretrained tree (croco_to_dust3r layout); heads keep their fresh
+    init — the reference's CroCo-checkpoint load semantics
+    (dust3r/model.py:169-176)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    for k, v in flatten_dict(trunk).items():
+        if k not in flat:
+            raise SystemExit(f"trunk key {'/'.join(k)} not in the model — "
+                             "was the trunk exported at a different config?")
+        if flat[k].shape != v.shape:
+            raise SystemExit(f"trunk shape mismatch at {'/'.join(k)}: "
+                             f"model {flat[k].shape} vs trunk {v.shape} — "
+                             "match the --tiny/--img flags used at export")
+        flat[k] = v
+    return unflatten_dict(flat)
 
 
 def _save_state(path, state, step: int) -> None:

@@ -80,6 +80,47 @@ def pretrain_loss(
     return loss, details
 
 
+def build_croco_pretrain_step(
+    model, tx,
+    norm_pix_loss: bool = False,
+    mesh=None,
+):
+    """CroCo pretraining step (masked cross-view completion, MaskedMSE) —
+    same contract as :func:`build_mast3r_pretrain_step`. `model` is a
+    gd3d.models.croco_pretrain.CrocoPretrain; the batch dict carries
+    img1/img2 (B, H, W, 3) in [-1, 1] plus a precomputed mask1 (B, N)
+    bool from croco_pretrain.random_mask (host-side rng keeps the step
+    signature identical across objectives)."""
+    from gd3d.models.croco_pretrain import masked_mse
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            pred, target = model.apply(
+                {"params": p}, batch["img1"], batch["img2"], batch["mask1"]
+            )
+            return masked_mse(pred, batch["mask1"], target,
+                              norm_pix_loss=norm_pix_loss)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gd3d.core.mesh import DATA_AXIS
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, NamedSharding(mesh, P(DATA_AXIS))),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1))
+
+
 def build_mast3r_pretrain_step(
     model, tx,
     loss_kwargs: Optional[Dict[str, Any]] = None,
