@@ -52,6 +52,15 @@ def parse_args(argv=None):
                         "output / Objaverse renderings: color_/depth_/"
                         "mask_%%06d.png + obj_poses.npy) instead of "
                         "in-process procedural pairs")
+    p.add_argument("--co3d-root", default=None, metavar="CO3D_DIR",
+                   help="train on a preprocessed Co3D-v2 tree (the "
+                        "dust3r pretraining layout: selected_seqs json + "
+                        "images/depths/masks) via the stereo-view "
+                        "pipeline (gd3d/data/stereo_views.py); --img "
+                        "sets the square view resolution")
+    p.add_argument("--co3d-split", default="train",
+                   help="selected_seqs_<split>.json to index (default "
+                        "train)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--img", type=int, default=224)
@@ -101,7 +110,19 @@ def main(argv=None) -> None:
     from gd3d.models.croco import CrocoConfig
     from gd3d.models.mast3r import Mast3r, Mast3rConfig
 
-    if args.data_root:
+    if args.co3d_root and args.data_root:
+        raise SystemExit("--co3d-root and --data-root are exclusive")
+    if args.co3d_root:
+        from gd3d.data.stereo_views import Co3dViews, views_pretrain_batch
+
+        co3d = Co3dViews(args.co3d_root, split=args.co3d_split,
+                         resolution=(args.img, args.img), seed=args.seed)
+
+        def base_batch(seed, batch_size, img, corres):
+            rng = np.random.RandomState(seed)
+            idxs = rng.randint(0, len(co3d), batch_size)
+            return views_pretrain_batch(co3d, idxs, rng, n_corres=corres)
+    elif args.data_root:
         base_batch = functools.partial(rendered_pretrain_batch,
                                        args.data_root)
     else:

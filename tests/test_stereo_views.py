@@ -282,3 +282,16 @@ def test_views_pretrain_batch_drives_pretrain_step(tmp_path):
     p1, _, metrics = build_mast3r_pretrain_step(model, tx)(
         params, tx.init(params), batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pretrain_cli_co3d_smoke(tmp_path):
+    """gd3d-pretrain --co3d-root: the CLI trains on a Co3D-layout tree."""
+    from gd3d.cli.pretrain import main
+
+    _make_co3d_tree(str(tmp_path / "co3d"), n_frames=8, w=80, h=60)
+    main(["--output", str(tmp_path / "run"), "--co3d-root",
+          str(tmp_path / "co3d"), "--steps", "2", "--tiny", "--img", "64",
+          "--corres", "16"])
+    lines = [json.loads(l) for l in
+             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
