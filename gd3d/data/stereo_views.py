@@ -434,13 +434,28 @@ class Co3dViews(StereoViews):
     def __len__(self):
         return len(self.scene_list) * len(self.combinations)
 
-    def _paths(self, obj, instance, view_idx):
-        base = osp.join(self.ROOT, obj, instance)
-        return (osp.join(base, "images", f"frame{view_idx:06n}.jpg"),
-                osp.join(base, "images", f"frame{view_idx:06n}.npz"),
-                osp.join(base, "depths",
-                         f"frame{view_idx:06n}.jpg.geometric.png"),
-                osp.join(base, "masks", f"frame{view_idx:06n}.png"))
+    # path/decode hooks — overridden by WildRGBDViews (wildrgbd.py:18-41)
+    def _get_impath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "images",
+                        f"frame{view_idx:06n}.jpg")
+
+    def _get_metadatapath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "images",
+                        f"frame{view_idx:06n}.npz")
+
+    def _get_depthpath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "depths",
+                        f"frame{view_idx:06n}.jpg.geometric.png")
+
+    def _get_maskpath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "masks",
+                        f"frame{view_idx:06n}.png")
+
+    def _read_depthmap(self, depthpath, meta) -> np.ndarray:
+        """uint16/65535 x maximum_depth (co3d.py:62-65)."""
+        depth16 = np.asarray(Image.open(depthpath))
+        return (depth16.astype(np.float32) / 65535.0) * \
+            np.nan_to_num(float(meta["maximum_depth"]))
 
     def _get_views(self, idx, resolution, rng):
         obj, instance = self.scene_list[idx // len(self.combinations)]
@@ -465,18 +480,17 @@ class Co3dViews(StereoViews):
                         im_idx = cand
                         break
             view_idx = image_pool[im_idx]
-            impath, metapath, depthpath, maskpath = self._paths(
-                obj, instance, view_idx)
-            meta = np.load(metapath)
+            impath = self._get_impath(obj, instance, view_idx)
+            meta = np.load(self._get_metadatapath(obj, instance, view_idx))
             K = meta["camera_intrinsics"].astype(np.float32)
             pose = meta["camera_pose"].astype(np.float32)
             image = Image.open(impath).convert("RGB")
-            depth16 = np.asarray(Image.open(depthpath))
-            depthmap = (depth16.astype(np.float32) / 65535.0) * \
-                np.nan_to_num(float(meta["maximum_depth"]))
+            depthmap = self._read_depthmap(
+                self._get_depthpath(obj, instance, view_idx), meta)
             if mask_bg:
-                m = np.asarray(Image.open(maskpath).convert("L"),
-                               np.float32) / 255.0
+                m = np.asarray(Image.open(
+                    self._get_maskpath(obj, instance, view_idx)
+                ).convert("L"), np.float32) / 255.0
                 depthmap = depthmap * (m > 0.1)  # co3d.py:120-126
             image, depthmap, K = self._crop_resize(
                 image, depthmap, K, resolution, rng,
@@ -489,6 +503,84 @@ class Co3dViews(StereoViews):
                 img=image, depthmap=depthmap, camera_pose=pose,
                 camera_intrinsics=K, dataset=self.dataset_label,
                 label=osp.join(obj, instance), instance=osp.split(impath)[1]))
+        return views
+
+
+class WildRGBDViews(Co3dViews):
+    """Preprocessed WildRGB-D layout (wildrgbd.py:18-41): same orbit/pair
+    logic as Co3D with rgb/depth/masks/metadata subdirs, %05d frame
+    names, and METRIC depth stored at scale 1000 (millimeters)."""
+
+    def __init__(self, root: str, **kwargs):
+        super().__init__(root, **kwargs)
+        self.dataset_label = "WildRGBD"
+
+    def _get_impath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "rgb",
+                        f"{view_idx:0>5d}.jpg")
+
+    def _get_metadatapath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "metadata",
+                        f"{view_idx:0>5d}.npz")
+
+    def _get_depthpath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "depth",
+                        f"{view_idx:0>5d}.png")
+
+    def _get_maskpath(self, obj, instance, view_idx):
+        return osp.join(self.ROOT, obj, instance, "masks",
+                        f"{view_idx:0>5d}.png")
+
+    def _read_depthmap(self, depthpath, meta) -> np.ndarray:
+        return np.asarray(Image.open(depthpath)).astype(np.float32) / 1000.0
+
+
+class ScanNetppViews(StereoViews):
+    """Preprocessed ScanNet++ PRETRAINING layout (scannetpp.py:17-70):
+    one all_metadata.npz with scenes/sceneids/images/intrinsics/
+    trajectories/pairs; per-frame jpg + mm-uint16 depth png. (The
+    DISTILLATION-side ScanNet++ loader — pair mining from raw scenes —
+    is gd3d/data/scannetpp.py; this one consumes the dust3r-preprocessed
+    pretraining dump.)"""
+
+    def __init__(self, root: str, **kwargs):
+        self.ROOT = root
+        super().__init__(**kwargs)
+        assert self.split == "train"  # scannetpp.py:22
+        with np.load(osp.join(root, "all_metadata.npz")) as data:
+            self.scenes = data["scenes"]
+            self.sceneids = data["sceneids"]
+            self.images = data["images"]
+            self.intrinsics = data["intrinsics"].astype(np.float32)
+            self.trajectories = data["trajectories"].astype(np.float32)
+            self.pairs = data["pairs"][:, :2].astype(int)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _get_views(self, idx, resolution, rng):
+        views = []
+        for view_idx in self.pairs[idx]:
+            scene_id = self.sceneids[view_idx]
+            scene_dir = osp.join(self.ROOT, str(self.scenes[scene_id]))
+            basename = str(self.images[view_idx])
+            image = Image.open(
+                osp.join(scene_dir, "images", basename + ".jpg")
+            ).convert("RGB")
+            depthmap = np.asarray(Image.open(
+                osp.join(scene_dir, "depth", basename + ".png"))
+            ).astype(np.float32) / 1000.0
+            depthmap[~np.isfinite(depthmap)] = 0
+            image, depthmap, K = self._crop_resize(
+                image, depthmap, self.intrinsics[view_idx].copy(),
+                resolution, rng, info=view_idx)
+            views.append(dict(
+                img=image, depthmap=depthmap.astype(np.float32),
+                camera_pose=self.trajectories[view_idx],
+                camera_intrinsics=K.astype(np.float32),
+                dataset="ScanNet++",
+                label=f"{self.scenes[scene_id]}_{basename}",
+                instance=f"{idx}_{view_idx}"))
         return views
 
 

@@ -187,6 +187,82 @@ def test_co3d_views_roundtrip(tmp_path):
     np.testing.assert_array_equal(w1["img"], v1["img"])
 
 
+def _make_wildrgbd_tree(root, n_frames=8, w=80, h=60):
+    rng = np.random.default_rng(9)
+    base = os.path.join(root, "apple", "seq1")
+    for sub in ("rgb", "depth", "masks", "metadata"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    K = np.array([[70.0, 0, w / 2], [0, 70.0, h / 2], [0, 0, 1]], np.float32)
+    for i in range(n_frames):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(os.path.join(base, "rgb", f"{i:0>5d}.jpg"))
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.1 * i, 0, -2]
+        np.savez(os.path.join(base, "metadata", f"{i:0>5d}.npz"),
+                 camera_intrinsics=K, camera_pose=pose)
+        depth_mm = (rng.random((h, w)) * 800 + 800).astype(np.uint16)
+        Image.fromarray(depth_mm).save(
+            os.path.join(base, "depth", f"{i:0>5d}.png"))
+        mask = np.full((h, w), 255, np.uint8)
+        Image.fromarray(mask).save(
+            os.path.join(base, "masks", f"{i:0>5d}.png"))
+    with open(os.path.join(root, "selected_seqs_train.json"), "w") as f:
+        json.dump({"apple": {"seq1": list(range(n_frames))}}, f)
+
+
+def test_wildrgbd_views_metric_depth(tmp_path):
+    from gd3d.data.stereo_views import WildRGBDViews
+
+    _make_wildrgbd_tree(str(tmp_path))
+    ds = WildRGBDViews(str(tmp_path), split="train", resolution=(48, 32),
+                       seed=2)
+    v1, v2 = ds[3]
+    assert v1["dataset"] == "WildRGBD"
+    # depth decoded at scale 1000 (wildrgbd.py:36-41): mm 800-1600 -> m
+    d = v1["depthmap"][v1["valid_mask"]]
+    assert 0.7 < d.min() and d.max() < 1.7
+    assert v1["img"].shape == (32, 48, 3)
+
+
+def test_scannetpp_views_roundtrip(tmp_path):
+    from gd3d.data.stereo_views import ScanNetppViews
+
+    rng = np.random.default_rng(11)
+    w, h, n = 80, 60, 4
+    scene = "scene0"
+    os.makedirs(tmp_path / scene / "images", exist_ok=True)
+    os.makedirs(tmp_path / scene / "depth", exist_ok=True)
+    K = np.array([[70.0, 0, w / 2], [0, 70.0, h / 2], [0, 0, 1]], np.float32)
+    names, poses = [], []
+    for i in range(n):
+        name = f"frame_{i:04d}"
+        names.append(name)
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / scene / "images" / f"{name}.jpg")
+        depth_mm = (rng.random((h, w)) * 900 + 600).astype(np.uint16)
+        Image.fromarray(depth_mm).save(
+            tmp_path / scene / "depth" / f"{name}.png")
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0, 0.05 * i, -1]
+        poses.append(pose)
+    np.savez(tmp_path / "all_metadata.npz",
+             scenes=np.array([scene]),
+             sceneids=np.zeros(n, np.int64),
+             images=np.array(names),
+             intrinsics=np.stack([K] * n),
+             trajectories=np.stack(poses),
+             pairs=np.array([[0, 1], [1, 2], [2, 3]], np.int64))
+    ds = ScanNetppViews(str(tmp_path), split="train", resolution=(48, 32),
+                        seed=4)
+    assert len(ds) == 3
+    v1, v2 = ds[1]
+    assert v1["instance"] == "1_1" and v2["instance"] == "1_2"
+    assert v1["img"].shape == (32, 48, 3)
+    assert v1["valid_mask"].all()  # all synthetic depths > 0
+    d = v1["depthmap"]
+    assert 0.5 < d.min() and d.max() < 1.6  # mm -> m decode
+
+
 # -------------------------------------------------------- combinators
 class _TinyViews(StereoViews):
     def __init__(self, n, **kw):
