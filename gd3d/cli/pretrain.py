@@ -110,13 +110,27 @@ def main(argv=None) -> None:
     from gd3d.models.croco import CrocoConfig
     from gd3d.models.mast3r import Mast3r, Mast3rConfig
 
+    # clamp BEFORE any dataset is constructed: Co3dViews bakes the view
+    # resolution in at __init__, so a later clamp would desync the data
+    # from the model's patch grid
+    if args.tiny:
+        args.img = min(args.img, 64)
+        tiny_croco = CrocoConfig(
+            patch_size=16, enc_embed_dim=32, enc_depth=2,
+            enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
+            dec_num_heads=2)
+
     if args.co3d_root and args.data_root:
         raise SystemExit("--co3d-root and --data-root are exclusive")
     if args.co3d_root:
         from gd3d.data.stereo_views import Co3dViews, views_pretrain_batch
 
+        # +1: StereoViews keeps the reference's `if self.seed:` quirk
+        # (falsy 0 -> unseeded rng), so the CLI default --seed 0 must
+        # still yield reproducible crop jitter
         co3d = Co3dViews(args.co3d_root, split=args.co3d_split,
-                         resolution=(args.img, args.img), seed=args.seed)
+                         resolution=(args.img, args.img),
+                         seed=args.seed + 1)
 
         def base_batch(seed, batch_size, img, corres):
             rng = np.random.RandomState(seed)
@@ -127,13 +141,6 @@ def main(argv=None) -> None:
                                        args.data_root)
     else:
         base_batch = synthetic_pretrain_batch
-
-    if args.tiny:
-        args.img = min(args.img, 64)
-        tiny_croco = CrocoConfig(
-            patch_size=16, enc_embed_dim=32, enc_depth=2,
-            enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
-            dec_num_heads=2)
 
     if args.objective == "croco":
         from gd3d.models.croco_pretrain import CrocoPretrain

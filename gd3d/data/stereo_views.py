@@ -235,6 +235,10 @@ class StereoViews:
     resolutions, exactly like the reference's aspect-ratio sampler."""
 
     num_views = 2
+    # mast3r/datasets/base/mast3r_base_stereo_view_dataset.py:38 — by
+    # default a dataset is NOT metric scale; subclasses overwrite
+    # (mast3r/datasets/__init__.py: Co3d False, ScanNetpp/WildRGBD True).
+    is_metric_scale = False
 
     def __init__(self, *, split: Optional[str] = None,
                  resolution: Union[Resolution, List[Resolution]] = None,
@@ -294,6 +298,9 @@ class StereoViews:
         for v, view in enumerate(views):
             assert "pts3d" not in view and "valid_mask" not in view
             view["idx"] = (idx, ar_idx, v)
+            # per-view flag, like the reference (:205) — survives CatViews
+            # mixing metric and non-metric datasets
+            view["is_metric_scale"] = self.is_metric_scale
             img = view["img"]
             w, h = img.size if isinstance(img, Image.Image) else \
                 (img.shape[1], img.shape[0])
@@ -413,6 +420,8 @@ class Co3dViews(StereoViews):
     combinations of the 100-frame orbit with +/-4 jitter, zero-depth
     frames resampled toward a valid neighbor."""
 
+    is_metric_scale = False  # mast3r/datasets/__init__.py:32
+
     def __init__(self, root: str, *, mask_bg: Union[bool, str] = True,
                  **kwargs):
         self.ROOT = root
@@ -511,6 +520,8 @@ class WildRGBDViews(Co3dViews):
     logic as Co3D with rgb/depth/masks/metadata subdirs, %05d frame
     names, and METRIC depth stored at scale 1000 (millimeters)."""
 
+    is_metric_scale = True  # mast3r/datasets/__init__.py:62
+
     def __init__(self, root: str, **kwargs):
         super().__init__(root, **kwargs)
         self.dataset_label = "WildRGBD"
@@ -542,6 +553,8 @@ class ScanNetppViews(StereoViews):
     DISTILLATION-side ScanNet++ loader — pair mining from raw scenes —
     is gd3d/data/scannetpp.py; this one consumes the dust3r-preprocessed
     pretraining dump.)"""
+
+    is_metric_scale = True  # mast3r/datasets/__init__.py:44
 
     def __init__(self, root: str, **kwargs):
         self.ROOT = root
@@ -589,7 +602,7 @@ def views_pretrain_batch(dataset: StereoViews, indices: Sequence[int],
                          rng: np.random.RandomState,
                          n_corres: int = 256,
                          depth_eps: float = 0.02,
-                         is_metric_scale: bool = False
+                         is_metric_scale: Optional[bool] = None
                          ) -> Dict[str, np.ndarray]:
     """Collate stereo views into the build_mast3r_pretrain_step batch
     (img1/img2 + gt trees + fixed-capacity reprojection correspondences;
@@ -597,27 +610,39 @@ def views_pretrain_batch(dataset: StereoViews, indices: Sequence[int],
     replacement for the reference's torch collate. Correspondences:
     sample valid view-1 pixels, unproject with the view's own
     depth/K/pose, reproject into view 2, keep hits whose stored depth
-    agrees within `depth_eps` x the scene's median depth."""
+    agrees within `depth_eps` x the scene's median depth.
+
+    `is_metric_scale=None` (default) reads the per-view flag the dataset
+    attached (mast3r_base_stereo_view_dataset.py:205); pass a bool to
+    override."""
     out: Dict[str, list] = {"img1": [], "img2": []}
     gts: Dict[int, Dict[str, list]] = {
         v: {k: [] for k in ("camera_pose", "pts3d", "valid_mask",
                             "sky_mask", "corres")} for v in (1, 2)}
     valid_corres = []
+    metric = []
     for idx in indices:
         v1, v2 = dataset[int(idx)]
+        metric.append(bool(v1.get("is_metric_scale", False))
+                      if is_metric_scale is None else is_metric_scale)
         for vi, view in enumerate((v1, v2)):
             out[f"img{vi + 1}"].append(view["img"].astype(np.float32))
             g = gts[vi + 1]
             g["camera_pose"].append(view["camera_pose"])
             g["pts3d"].append(view["pts3d"])
             g["valid_mask"].append(view["valid_mask"])
-            g["sky_mask"].append(~view["valid_mask"])
+            # sky = negative stored depth, NOT merely-invalid pixels
+            # (mast3r_base_stereo_view_dataset.py:231) — empty for
+            # Co3D/WildRGBD/ScanNet++; invalid pixels are simply
+            # excluded from the loss, not sky-supervised
+            g["sky_mask"].append(view["depthmap"] < 0)
 
         H, W = v1["depthmap"].shape
         w2c = np.linalg.inv(v2["camera_pose"])
         K2 = v2["camera_intrinsics"]
-        eps = depth_eps * max(float(np.median(
-            v2["depthmap"][v2["depthmap"] > 0])), 1e-6)
+        pos = v2["depthmap"][v2["depthmap"] > 0]
+        eps = depth_eps * max(
+            float(np.median(pos)) if pos.size else 0.0, 1e-6)
         ys, xs = np.nonzero(v1["valid_mask"])
         take = rng.permutation(len(ys))[: 4 * n_corres]
         ys, xs = ys[take], xs[take]
@@ -649,6 +674,5 @@ def views_pretrain_batch(dataset: StereoViews, indices: Sequence[int],
     for vi in (1, 2):
         batch[f"gt{vi}"] = {k: np.stack(v) for k, v in gts[vi].items()}
     batch["gt1"]["valid_corres"] = np.stack(valid_corres)
-    batch["gt1"]["is_metric_scale"] = np.full((len(indices),),
-                                              is_metric_scale, bool)
+    batch["gt1"]["is_metric_scale"] = np.asarray(metric, bool)
     return batch
