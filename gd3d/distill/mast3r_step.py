@@ -49,11 +49,19 @@ def mast3r_distill_loss(
     batch: Dict[str, jnp.ndarray],
     temperature,
     has_depth: bool,
+    return_aux: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss for a batch of B pairs. Batch keys (all NHWC, float32):
       rgb_1/rgb_2 (B, Hr, Wr, 3) in [0,1]; rgb_mast3r_1/2 (B, H, W, 3) in
       [-1,1] with W >= H; intrinsic (B, 3, 3); depth_1/depth_2 (B, Hd, Wd)
       when has_depth.
+
+    return_aux=True adds metrics["aux"]: the intermediate tensors each loss
+    consumes (keypoints, depth maps, student features/descs, raw cost maps,
+    teacher maps), so the reference-direct loss parity suite
+    (tests/test_reference_loss_parity.py) can drive the ACTUAL reference
+    calculate_{depth,cost,matching}_loss on identical inputs. Never set in
+    the train step.
     """
     kcfg = cfg.keypoints
     ps = cfg.student.patch_size
@@ -194,6 +202,21 @@ def mast3r_distill_loss(
         "kl_loss": kl_loss,
         "num_kps": jnp.sum(valid.astype(jnp.float32)) / B,
     }
+    if return_aux:
+        metrics["aux"] = {
+            "kp_1": kp_1, "kp_2": kp_2, "valid": valid,
+            "depth_1": depth_1, "depth_2": depth_2,
+            "kp_feat_1": kp_feat_1, "kp_feat_2": kp_feat_2,
+            "kp_depth_1": kp_depth_1, "kp_depth_2": kp_depth_2,
+            "desc_1": desc_1, "desc_2": desc_2,
+            # raw (pre-L2-norm) cost features: the reference's
+            # calculate_cost_loss normalizes/bmms/softmaxes itself
+            "fc_1_raw": fc_all[:B], "fc_2_raw": fc_all[B:],
+            "teacher_cost_1": feats["cost_1"],
+            "teacher_cost_2": feats["cost_2"],
+            "pts3d_1_map": feats["pts3d_1"],
+            "pts3d_2_from_1_map": feats["pts3d_2_from_1"],
+        }
     return loss, metrics
 
 

@@ -50,8 +50,13 @@ def vggt_distill_loss(
     batch: Dict[str, jnp.ndarray],
     temperature,
     rng: jax.Array,
+    return_aux: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """batch: rgb_1/rgb_2 (B, Hr, Wr, 3) [0,1]; rgb_vggt (B, 2, H, W, 3)."""
+    """batch: rgb_1/rgb_2 (B, Hr, Wr, 3) [0,1]; rgb_vggt (B, 2, H, W, 3).
+
+    return_aux=True adds metrics["aux"] with the per-loss intermediates for
+    the reference-direct loss parity suite (see mast3r_step.py); never set
+    in the train step."""
     kcfg = cfg.keypoints
     B, S, H, W, _ = batch["rgb_vggt"].shape
     vp = teacher.cfg.patch_size
@@ -174,6 +179,23 @@ def vggt_distill_loss(
         "kl_loss": kl_loss,
         "num_kps": jnp.sum(valid.astype(jnp.float32)) / B,
     }
+    if return_aux:
+        metrics["aux"] = {
+            "kp_1": kp_1, "kp_2": kp_2, "valid": valid,
+            "mask_1": mask_1, "mask_2": mask_2,
+            "depth_pred_1": feats["depth_pred_1"],
+            "depth_pred_2": feats["depth_pred_2"],
+            "kp_feat_1": kp_feat_1, "kp_feat_2": kp_feat_2,
+            "kp_depth_1": kp_depth_1, "kp_depth_2": kp_depth_2,
+            "desc_1": desc_1, "desc_2": desc_2,
+            # raw (pre-L2-norm) /14-grid cost features: the reference's
+            # calculate_cost_loss normalizes/bmms/softmaxes itself
+            "fc_1_raw": fc_all[:B], "fc_2_raw": fc_all[B:],
+            "teacher_cost_1": feats["cost_1"],
+            "teacher_cost_2": feats["cost_2"],
+            "point_map_view_1": feats["point_map_view_1"],
+            "point_map_view_2": feats["point_map_view_2"],
+        }
     return loss, metrics
 
 
