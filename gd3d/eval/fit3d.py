@@ -22,17 +22,18 @@ from gd3d.teachers.convert import convert_timm_vit, graft_pretrained_vit
 VANILLA_CFG = StudentConfig(lora_start_block=12, use_adapters=False)
 
 
-def load_fit3d_student(ckpt_path: Optional[str], seed: int = 42):
+def load_fit3d_student(ckpt_path: Optional[str], seed: int = 42,
+                       cfg: StudentConfig = VANILLA_CFG):
     """Build the (vanilla-architecture) student and optionally load FiT3D
     finetuned weights from a local torch state_dict."""
-    student = Student(VANILLA_CFG)
+    student = Student(cfg)
     params = student.init(jax.random.key(seed), img_size=64)
     if ckpt_path:
         from gd3d.cli.train import load_torch_state
 
         state = load_torch_state(ckpt_path)
         params["vit"] = graft_pretrained_vit(
-            params["vit"], convert_timm_vit(state, VANILLA_CFG)
+            params["vit"], convert_timm_vit(state, cfg)
         )
     return student, params
 
@@ -45,8 +46,17 @@ def compare(
     run_tracking: bool = False,
     run_pose: bool = False,
     num_videos: int = 30,
+    cfg: StudentConfig = VANILLA_CFG,
+    transfer_kwargs: Optional[Dict] = None,
 ) -> Dict[str, pd.DataFrame]:
-    """Side-by-side metric tables {eval}/{model} like evaluate_timm_fit3d."""
+    """Side-by-side metric tables keyed '{eval}/{model}' — the reference
+    harness's layout (evaluate_timm_fit3d.py:628-691 runs each selected
+    evaluation for the FiT3D-finetuned model and the vanilla backbone and
+    writes one CSV per (eval, model) pair).
+
+    cfg/transfer_kwargs exist so tests can run the full harness at tiny
+    geometry; defaults match the reference's full-size ViT-B/16 + 640-canvas
+    evaluation."""
     results: Dict[str, pd.DataFrame] = {}
     if vanilla_ckpt is None:
         # the reference baseline is the PRETRAINED backbone
@@ -54,8 +64,8 @@ def compare(
         print("WARNING: no --vanilla-ckpt; the 'vanilla' column uses "
               "RANDOM weights and is not the reference baseline")
     models = {
-        "fit3d": load_fit3d_student(fit3d_ckpt),
-        "vanilla": load_fit3d_student(vanilla_ckpt),
+        "fit3d": load_fit3d_student(fit3d_ckpt, cfg=cfg),
+        "vanilla": load_fit3d_student(vanilla_ckpt, cfg=cfg),
     }
     for name, (student, params) in models.items():
         if run_transfer:
@@ -63,7 +73,7 @@ def compare(
 
             results[f"transfer/{name}"] = semantic_transfer(
                 student, params, f"{data_root}/PF-dataset-PASCAL",
-                refine=False,
+                refine=False, **(transfer_kwargs or {}),
             )
         if run_tracking:
             from gd3d.eval.tracking import tracking

@@ -135,9 +135,15 @@ def make_match_fn(student: Student, img_size: int = 640, refine: bool = True,
         d1 = student.dense_grid_features(params, x1, refine=refine)
         d2 = student.dense_grid_features(params, x2, refine=refine)
         ds_size = ((img_size - ps) // ps) * ps + 1
+        # QUIRK: the reference samples kp descriptors with
+        # interpolate_features' DEFAULT patch_size=14/stride=14 alignment
+        # (utils/functions.py:55, "borrowed from DINO-Tracker") even though
+        # the descriptor grid is patch-16 (evaluate_timm.py:542 passes no
+        # patch/stride) — reproduced verbatim for identical PCK; locked by
+        # tests/test_reference_eval_parity.py
         kp_desc = interpolate_features(
             d1.transpose(0, 3, 1, 2), kps1,
-            h=img_size, w=img_size, normalize=True, patch_size=ps, stride=ps,
+            h=img_size, w=img_size, normalize=True, patch_size=14, stride=14,
         )  # (B, C, N)
         # The reference upsamples the dense target features to 640^2 and
         # THEN dots (evaluate_timm.py:516-547) — a (B, 640, 640, 768) fp32
