@@ -170,9 +170,13 @@ def test_match_fn_commuted_sim_matches_reference_order():
     d2_full = jnp.pad(
         d2_up, ((0, 0), (pad_l, size - ds - pad_l),
                 (pad_l, size - ds - pad_l), (0, 0)), mode="edge")
+    # the reference samples source-kp descriptors with interpolate_features'
+    # DEFAULT patch_size=14/stride=14 alignment (evaluate_timm.py:542 passes
+    # no patch/stride even though the grid is patch-16) — match_fn reproduces
+    # that, so the commuted-order expectation must too
     kp_desc = interpolate_features(
         d1.transpose(0, 3, 1, 2), jnp.asarray(kps[None]),
-        h=size, w=size, normalize=True, patch_size=ps, stride=ps)
+        h=size, w=size, normalize=True, patch_size=14, stride=14)
     sim = jnp.einsum("cn,hwc->nhw", kp_desc[0], d2_full[0]).reshape(5, -1)
     nn = np.asarray(jnp.argmax(sim, axis=1))
     ref = np.stack([nn % size, nn // size], 1)
