@@ -1,10 +1,13 @@
-"""gd3d-preprocess: raw Co3D-v2 download -> the preprocessed training tree.
+"""gd3d-preprocess: raw dataset downloads -> the preprocessed training trees.
 
-The reference can take a raw Co3D-v2 download to the training-ready layout
-its pretraining datasets consume
-(dust3r/datasets_preprocess/preprocess_co3d.py:130-295); this CLI closes
-that loop on gd3d's side so `gd3d-pretrain --co3d-root` can be fed from a
-raw download end-to-end. Behavior parity per frame:
+The reference can take raw Co3D-v2 / WildRGB-D / ScanNet++ downloads to the
+training-ready layouts its pretraining datasets consume
+(dust3r/datasets_preprocess/preprocess_{co3d,wildrgbd,scannetpp}.py); this
+CLI closes that loop on gd3d's side so `gd3d-pretrain
+--{co3d,wildrgbd,scannetpp}-root` can be fed from raw downloads end-to-end.
+Select with --dataset {co3d,wildrgbd,scannetpp} (default co3d).
+
+Co3D behavior parity per frame (preprocess_co3d.py:130-295):
 
   1. pytorch3d-NDC viewpoint -> OpenCV intrinsics + world2cam
      (preprocess_co3d.py:65-113: NDC->screen via min(half_wh), column
@@ -208,28 +211,201 @@ def prepare_category(category: str, co3d_dir: str, output_dir: str,
     return selected_dict
 
 
+# ------------------------------------------------- WildRGB-D
+# preprocess_wildrgbd.py:43-57: train = intersection of the two subset
+# lists' train splits; test = everything else
+def wildrgbd_set_list(category_dir: str, split: str):
+    listfiles = ("camera_eval_list.json", "nvs_list.json")
+    per_split = {s: {f: set() for f in listfiles} for s in ("train", "val")}
+    for lf in listfiles:
+        with open(osp.join(category_dir, lf)) as f:
+            data = json.load(f)
+        for s in ("train", "val"):
+            per_split[s][lf].update(data[s])
+    train = set.intersection(*per_split["train"].values())
+    if split == "train":
+        return train
+    every = set.union(*per_split["train"].values(),
+                      *per_split["val"].values())
+    return every - train
+
+
+def prepare_wildrgbd_sequences(category: str, wildrgbd_dir: str,
+                               output_dir: str, img_size: int, split: str,
+                               max_sequences: int, num_frames: int,
+                               seed: int):
+    """One category, one split -> {seq_name: [frame ids]}
+    (preprocess_wildrgbd.py:60-164). Differences from the Co3D pipeline,
+    reproduced: the crop bbox truncates float principal-point margins with
+    int() (Co3D rounds the pp first), depth is written as RAW mm uint16
+    (no per-frame max scaling / maximum_depth metadata), frames are
+    linspace-subsampled to `num_frames`, and sequences live under a
+    'scenes/...' prefix inside each category."""
+    random.seed(seed)
+    category_dir = osp.join(wildrgbd_dir, category)
+    sequences_all = sorted(
+        s for s in wildrgbd_set_list(category_dir, split)
+        if osp.isdir(osp.join(category_dir, s)))
+    if len(sequences_all) > max_sequences:
+        selected = random.sample(sequences_all, max_sequences)
+    else:
+        selected = sequences_all
+
+    selected_dict = {}
+    for seq_name in selected:
+        scene_dir = osp.join(category_dir, seq_name)
+        scene_out = osp.join(output_dir, category, seq_name)
+        with open(osp.join(scene_dir, "metadata")) as f:
+            meta = json.load(f)
+        # K is stored column-major (:88)
+        K_raw = np.array(meta["K"], np.float64).reshape(3, 3).T
+        K = np.array([[K_raw[0, 0], 0.0, K_raw[0, 2]],
+                      [0.0, K_raw[1, 1], K_raw[1, 2]],
+                      [0.0, 0.0, 1.0]])
+        cx, cy = K[0, 2], K[1, 2]
+
+        posefile = np.genfromtxt(osp.join(scene_dir, "cam_poses.txt"))
+        cam2world = posefile[:, 1:].reshape(-1, 4, 4)
+        frame_idx = posefile[:, 0]
+        total = frame_idx.shape[0]
+        assert total >= num_frames
+        assert np.all(frame_idx == np.arange(total))
+        frames = np.round(
+            np.linspace(0, total - 1, num_frames)).astype(int).tolist()
+        selected_dict[seq_name] = frames
+
+        for fid in frames:
+            image = Image.open(
+                osp.join(scene_dir, "rgb", f"{fid:0>5d}.png")).convert("RGB")
+            depth = np.asarray(Image.open(
+                osp.join(scene_dir, "depth", f"{fid:0>5d}.png")),
+                np.float64)  # raw mm uint16
+            mask = np.asarray(Image.open(
+                osp.join(scene_dir, "masks", f"{fid:0>5d}.png")),
+                np.float32)
+            if mask.dtype != np.float32 or mask.max() > 1.0:
+                mask = mask.astype(np.float32) / 255.0  # plt.imread scaling
+            H, W = depth.shape
+
+            # float margins, int()-truncated bbox (:122-128)
+            min_margin_x = min(cx, W - cx)
+            min_margin_y = min(cy, H - cy)
+            bbox = (int(cx - min_margin_x), int(cy - min_margin_y),
+                    int(cx + min_margin_x), int(cy + min_margin_y))
+            depth_mask = np.stack((depth, mask), axis=-1)
+            image_c, depth_mask, Kc = crop_view(image, depth_mask, K, bbox)
+
+            # coverage rescale from the PRE-crop (H, W), same reference
+            # quirk as Co3D (:132-138)
+            scale = (img_size * 3 // 4) / min(H, W) + 1e-8
+            out_res = np.floor(np.array([W, H]) * scale).astype(int)
+            if max(out_res) < img_size:
+                scale = img_size / max(H, W) + 1e-8
+                out_res = np.floor(np.array([W, H]) * scale).astype(int)
+            image_c, depth_mask, Kc = rescale_view(
+                image_c, depth_mask, Kc, out_res)
+
+            img_out = osp.join(scene_out, "rgb", f"{fid:0>5d}.jpg")
+            depth_out = osp.join(scene_out, "depth", f"{fid:0>5d}.png")
+            mask_out = osp.join(scene_out, "masks", f"{fid:0>5d}.png")
+            meta_out = osp.join(scene_out, "metadata", f"{fid:0>5d}.npz")
+            for pth in (img_out, depth_out, mask_out, meta_out):
+                os.makedirs(osp.split(pth)[0], exist_ok=True)
+            image_c.save(img_out)
+            write_u16_png(depth_out, depth_mask[:, :, 0])  # raw mm (:156)
+            Image.fromarray(
+                (depth_mask[:, :, 1] * 255).astype(np.uint8)).save(mask_out)
+            np.savez(meta_out, camera_intrinsics=Kc.astype(np.float32),
+                     camera_pose=cam2world[fid].astype(np.float32))
+    return selected_dict
+
+
+def run_wildrgbd(args) -> None:
+    categories = sorted(
+        d for d in os.listdir(args.raw_dir)
+        if osp.isdir(osp.join(args.raw_dir, d, "scenes")))
+    os.makedirs(args.output_dir, exist_ok=True)
+    per_split_counts = (("train", args.num_sequences_per_object),
+                        ("test", args.test_num_sequences_per_object))
+    for split, n_seq in per_split_counts:
+        merged_path = osp.join(args.output_dir,
+                               f"selected_seqs_{split}.json")
+        if osp.isfile(merged_path):
+            print(f"{merged_path} exists; skipping {split}")
+            continue
+        merged = {}
+        for category in categories:
+            cat_dir = osp.join(args.output_dir, category)
+            os.makedirs(cat_dir, exist_ok=True)
+            cat_path = osp.join(cat_dir, f"selected_seqs_{split}.json")
+            if osp.isfile(cat_path):
+                with open(cat_path) as f:
+                    sel = json.load(f)
+            else:
+                print(f"processing {split} - {category}", flush=True)
+                # the reference hashes the LITERAL string "category"
+                # (preprocess_wildrgbd.py:202), so every category gets the
+                # same seed offset — reproduced as the constant
+                sel = prepare_wildrgbd_sequences(
+                    category, args.raw_dir, args.output_dir,
+                    args.img_size, split, n_seq, args.num_frames,
+                    seed=args.seed + int(b"category".hex(), 16))
+                with open(cat_path, "w") as f:
+                    json.dump(sel, f)
+            merged[category] = sel
+        with open(merged_path, "w") as f:
+            json.dump(merged, f)
+    print(f"preprocessed tree -> {args.output_dir}")
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
-        description="Preprocess a raw Co3D-v2 download into the tree "
-                    "gd3d-pretrain --co3d-root consumes")
-    p.add_argument("--co3d-dir", required=True)
+        description="Preprocess a raw Co3D-v2 / WildRGB-D / ScanNet++ "
+                    "download into the tree gd3d-pretrain consumes")
+    p.add_argument("--dataset", choices=("co3d", "wildrgbd", "scannetpp"),
+                   default="co3d")
+    p.add_argument("--co3d-dir", default=None,
+                   help="raw dataset root (alias of --raw-dir, kept for "
+                        "the original co3d-only interface)")
+    p.add_argument("--raw-dir", default=None, help="raw dataset root")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--category", default=None,
-                   help="single category (default: all 51)")
+                   help="co3d: single category (default: all 51)")
     p.add_argument("--single-sequence-subset", action="store_true",
-                   help="use the manyview_dev set lists instead of "
+                   help="co3d: use the manyview_dev set lists instead of "
                         "fewview_train")
     p.add_argument("--num-sequences-per-object", type=int, default=50)
+    p.add_argument("--test-num-sequences-per-object", type=int, default=10,
+                   help="wildrgbd: sequences per category in the test split")
+    p.add_argument("--num-frames", type=int, default=100,
+                   help="wildrgbd: linspace-subsampled frames per sequence")
     p.add_argument("--min-quality", type=float, default=0.5,
-                   help="minimum viewpoint_quality_score")
+                   help="co3d: minimum viewpoint_quality_score")
     p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--target-resolution", type=int, default=920,
+                   help="scannetpp: long-side resolution")
+    p.add_argument("--pairs-dir", default=None,
+                   help="scannetpp: precomputed-pairs dir (scene_list.json "
+                        "+ per-scene selected_pairs.npz)")
     p.add_argument("--seed", type=int, default=42)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    args.raw_dir = args.raw_dir or args.co3d_dir
+    if args.raw_dir is None:
+        p.error("--raw-dir (or --co3d-dir) is required")
+    return args
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
-    assert osp.abspath(args.co3d_dir) != osp.abspath(args.output_dir)
+    assert osp.abspath(args.raw_dir) != osp.abspath(args.output_dir)
+    if args.dataset == "wildrgbd":
+        run_wildrgbd(args)
+        return
+    if args.dataset == "scannetpp":
+        from gd3d.data.preprocess_scannetpp import run_scannetpp
+        run_scannetpp(args)
+        return
+    args.co3d_dir = args.raw_dir
     if args.category is None:
         categories = (SINGLE_SEQUENCE_CATEGORIES
                       if args.single_sequence_subset else CATEGORIES)

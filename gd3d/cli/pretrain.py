@@ -58,6 +58,12 @@ def parse_args(argv=None):
                         "images/depths/masks) via the stereo-view "
                         "pipeline (gd3d/data/stereo_views.py); --img "
                         "sets the square view resolution")
+    p.add_argument("--wildrgbd-root", default=None, metavar="WRGBD_DIR",
+                   help="preprocessed WildRGB-D tree (gd3d-preprocess "
+                        "--dataset wildrgbd output)")
+    p.add_argument("--scannetpp-root", default=None, metavar="SNPP_DIR",
+                   help="preprocessed ScanNet++ pretraining dump "
+                        "(gd3d-preprocess --dataset scannetpp output)")
     p.add_argument("--co3d-split", default="train",
                    help="selected_seqs_<split>.json to index (default "
                         "train)")
@@ -120,22 +126,36 @@ def main(argv=None) -> None:
             enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
             dec_num_heads=2)
 
-    if args.co3d_root and args.data_root:
-        raise SystemExit("--co3d-root and --data-root are exclusive")
-    if args.co3d_root:
-        from gd3d.data.stereo_views import Co3dViews, views_pretrain_batch
+    view_roots = [r for r in (args.co3d_root, args.wildrgbd_root,
+                              args.scannetpp_root) if r]
+    if len(view_roots) > 1 or (view_roots and args.data_root):
+        raise SystemExit("--co3d-root/--wildrgbd-root/--scannetpp-root/"
+                         "--data-root are exclusive")
+    if view_roots:
+        from gd3d.data.stereo_views import (
+            Co3dViews,
+            ScanNetppViews,
+            WildRGBDViews,
+            views_pretrain_batch,
+        )
 
         # +1: StereoViews keeps the reference's `if self.seed:` quirk
         # (falsy 0 -> unseeded rng), so the CLI default --seed 0 must
         # still yield reproducible crop jitter
-        co3d = Co3dViews(args.co3d_root, split=args.co3d_split,
-                         resolution=(args.img, args.img),
-                         seed=args.seed + 1)
+        common = dict(resolution=(args.img, args.img), seed=args.seed + 1)
+        if args.co3d_root:
+            views = Co3dViews(args.co3d_root, split=args.co3d_split,
+                              **common)
+        elif args.wildrgbd_root:
+            views = WildRGBDViews(args.wildrgbd_root,
+                                  split=args.co3d_split, **common)
+        else:
+            views = ScanNetppViews(args.scannetpp_root, **common)
 
         def base_batch(seed, batch_size, img, corres):
             rng = np.random.RandomState(seed)
-            idxs = rng.randint(0, len(co3d), batch_size)
-            return views_pretrain_batch(co3d, idxs, rng, n_corres=corres)
+            idxs = rng.randint(0, len(views), batch_size)
+            return views_pretrain_batch(views, idxs, rng, n_corres=corres)
     elif args.data_root:
         base_batch = functools.partial(rendered_pretrain_batch,
                                        args.data_root)

@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--size", type=int, default=512,
                    help="render resolution (reference: 512)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--poses", default=None, metavar="NPY",
+                   help="camera extrinsics .npy to render with — e.g. the "
+                        "vendored data/obj_poses.npy, the reference's exact "
+                        "42 BlenderProc poses (default: procedural "
+                        "Fibonacci-sphere poses)")
     p.add_argument("--workers", type=int, default=0,
                    help="process pool size (render_objects.py uses "
                         "multiprocessing); 0 = in-process")
@@ -48,12 +53,12 @@ def parse_args(argv=None):
 
 
 def _render_chunk(args_tuple):
-    out_dir, names, views, size, seed, glb_root = args_tuple
+    out_dir, names, views, size, seed, glb_root, poses = args_tuple
     from gd3d.data.render_synthetic import render_object_tree
 
     return render_object_tree(
         out_dir, names, n_views=views, size=size, seed=seed,
-        glb_root=glb_root)
+        glb_root=glb_root, poses=poses)
 
 
 def main(argv=None) -> None:
@@ -71,6 +76,7 @@ def main(argv=None) -> None:
 
     out = Path(args.output)
     out.mkdir(parents=True, exist_ok=True)
+    pose_override = np.load(args.poses) if args.poses else None
 
     if args.workers > 0:
         # contiguous chunks with seed = global start index, so every object
@@ -78,7 +84,7 @@ def main(argv=None) -> None:
         step = (len(names) + args.workers - 1) // args.workers
         chunks = [
             (str(out), names[i : i + step], args.views, args.size,
-             args.seed + i, args.glb_root)
+             args.seed + i, args.glb_root, pose_override)
             for i in range(0, len(names), step)
         ]
         with multiprocessing.Pool(len(chunks)) as pool:
@@ -91,7 +97,7 @@ def main(argv=None) -> None:
     else:
         poses = _render_chunk(
             (str(out), names, args.views, args.size, args.seed,
-             args.glb_root))
+             args.glb_root, pose_override))
 
     # obj_poses.npy next to the tree (reference keeps it in data/)
     np.save(out / "obj_poses.npy", poses)

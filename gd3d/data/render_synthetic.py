@@ -194,6 +194,7 @@ def render_object_tree(
     size: int = 512,
     seed: int = 0,
     glb_root: str = None,
+    poses: np.ndarray = None,
 ) -> np.ndarray:
     """Write color_/depth_/mask_%06d.png trees + return the pose array
     (blenderproc.py layout: depth in mm uint16, mask uint8).
@@ -204,7 +205,11 @@ def render_object_tree(
     Lambert-shaded; otherwise objects are procedural meshes."""
     import cv2
 
-    poses = fixed_poses(n_views)
+    if poses is None:
+        poses = fixed_poses(n_views)
+    else:
+        poses = np.asarray(poses)[:n_views]
+        assert poses.shape == (n_views, 4, 4), poses.shape
     K = DEFAULT_INTRINSIC * (size / 512.0)
     K[2, 2] = 1.0
     for oi, name in enumerate(obj_names):

@@ -9,6 +9,7 @@ source keypoint features sampled with patch-center alignment, argmax over
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -67,12 +68,31 @@ def resize_to_canvas(img: Image.Image, target_res: int) -> np.ndarray:
     return canvas
 
 
+def resolve_pascal_csv(path: str, same_view: bool) -> str:
+    """Pair-CSV path, falling back to the in-tree vendored copy (repo
+    data/) when the user's PF-PASCAL dir has none — the reference expects
+    the CSVs copied into data/PF-dataset-PASCAL/."""
+    name = f"test_pairs_pf_{'same' if same_view else 'different'}_views.csv"
+    csv = os.path.join(path, name)
+    if not os.path.isfile(csv):
+        vendored = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "data", name)
+        if os.path.isfile(vendored):
+            return vendored
+    return csv
+
+
 def load_pascal_pairs(
     path: str, size: int, category: str, same_view: bool
 ) -> Tuple[List[str], np.ndarray]:
-    """src/evaluate_timm.py:399-458."""
-    csv = f"{path}/test_pairs_pf_{'same' if same_view else 'different'}_views.csv"
-    data = pd.read_csv(csv)
+    """src/evaluate_timm.py:399-458.
+
+    The pair CSVs ship in-tree (repo data/, see data/README.md) exactly as
+    the reference vendors them; when the user's PF-PASCAL dir has no copy
+    (the reference expects them copied into data/PF-dataset-PASCAL/), the
+    vendored ones are used."""
+    data = pd.read_csv(resolve_pascal_csv(path, same_view))
     cls_ids = data.iloc[:, 2].values.astype(int) - 1
     cat_id = PASCAL_CATEGORIES.index(category)
     subset = data.iloc[np.where(cls_ids == cat_id)[0], :]
