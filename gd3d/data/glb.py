@@ -337,17 +337,79 @@ _AMBIENT = 0.10
 
 
 def shade_lambert(cam_verts: np.ndarray, cam_normals: np.ndarray,
-                  colors: np.ndarray) -> np.ndarray:
+                  colors: np.ndarray,
+                  visibility: Optional[np.ndarray] = None) -> np.ndarray:
     """Diffuse point-light shading in camera space (lights ride the camera,
     as in the reference where the OBJECT moves and the rig stays fixed,
-    blenderproc.py:66-68). Inverse-square falloff, exposure-normalized."""
+    blenderproc.py:66-68). Inverse-square falloff, exposure-normalized.
+
+    `visibility` (n_lights, V) in [0, 1] gates each light's contribution
+    per vertex — the shadow term computed by `light_visibility` (the
+    reference's path tracer casts shadows natively; Lambert alone lights
+    concave regions a ray-traced render leaves dark)."""
     shade = np.zeros(len(cam_verts))
-    for pos, energy in zip(_LIGHTS_CAM, _LIGHT_ENERGY):
+    for li, (pos, energy) in enumerate(zip(_LIGHTS_CAM, _LIGHT_ENERGY)):
         to_light = pos - cam_verts
         d2 = np.maximum((to_light ** 2).sum(-1), 1e-6)
         ndotl = (cam_normals * to_light).sum(-1) / np.sqrt(d2)
         # two-sided: glb meshes are frequently inconsistently wound
-        shade = shade + energy / d2 * np.abs(ndotl)
+        contrib = energy / d2 * np.abs(ndotl)
+        if visibility is not None:
+            contrib = contrib * visibility[li]
+        shade = shade + contrib
     ref = _LIGHT_ENERGY.sum() / 4.0  # exposure anchor: unit distance
     s = np.clip(_AMBIENT + (1 - _AMBIENT) * shade / ref, 0.0, 1.0)
     return colors * s[:, None].astype(colors.dtype)
+
+
+def light_visibility(cam_verts: np.ndarray, faces: np.ndarray,
+                     light_pos: np.ndarray, res: int = 256) -> np.ndarray:
+    """Per-vertex shadow term for one point light via shadow mapping:
+    render the mesh's depth from the light with the SAME native z-buffer
+    rasterizer the color pass uses, then mark vertices whose distance to
+    the light exceeds the shadow-map sample as occluded. Returns (V,) in
+    {0, 1}; all-ones when the native library is unbuilt (graceful
+    fallback — shading then matches the unshadowed Lambert path)."""
+    from gd3d import native_runtime
+
+    light_pos = np.asarray(light_pos, np.float64)
+    center = cam_verts.mean(0)
+    fwd = center - light_pos
+    fn = np.linalg.norm(fwd)
+    if fn < 1e-9:
+        return np.ones(len(cam_verts))
+    fwd = fwd / fn
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(up @ fwd) > 0.99:
+        up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd])
+    lv = (cam_verts - light_pos) @ R.T  # light space, +z toward mesh
+
+    # frustum wide enough for every vertex in front of the light
+    front = lv[:, 2] > 1e-6
+    if not front.any():
+        return np.ones(len(cam_verts))
+    tan = np.abs(lv[front, :2] / lv[front, 2:3]).max()
+    tan = min(max(tan * 1.05, 0.1), 12.0)  # clamp to ~85 deg half-angle
+    f = (res / 2.0) / tan
+    K_l = np.array([[f, 0.0, res / 2.0], [0.0, f, res / 2.0],
+                    [0.0, 0.0, 1.0]])
+    dummy = np.zeros((len(cam_verts), 3), np.float32)
+    out = native_runtime.rasterize_mesh(lv, faces, dummy, K_l, res, res)
+    if out is None:
+        return np.ones(len(cam_verts))
+    depth = out[1]  # +inf on empty
+
+    u = np.clip((lv[:, 0] / np.maximum(lv[:, 2], 1e-8) * f
+                 + res / 2.0).astype(int), 0, res - 1)
+    v = np.clip((lv[:, 1] / np.maximum(lv[:, 2], 1e-8) * f
+                 + res / 2.0).astype(int), 0, res - 1)
+    seen = depth[v, u]
+    # depth-proportional bias absorbs vertex-resolution acne
+    lit = lv[:, 2] <= seen * 1.02 + 2.0 / res
+    # vertices behind the light plane receive no light anyway (|n.l| term
+    # still applies); count them visible
+    return np.where(front, lit, True).astype(np.float64)

@@ -124,10 +124,24 @@ def render_mesh(
     """
     cam = verts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
     if normals is not None:
-        from gd3d.data.glb import shade_lambert
+        import os
+
+        from gd3d.data.glb import (
+            _LIGHTS_CAM,
+            light_visibility,
+            shade_lambert,
+        )
 
         cam_normals = normals @ extrinsic[:3, :3].T
-        colors = shade_lambert(cam, cam_normals, np.asarray(colors, np.float32))
+        # shadow-mapped visibility per light (the reference's path tracer
+        # casts shadows; GD3D_RENDER_SHADOWS=0 restores plain Lambert)
+        vis = None
+        if os.environ.get("GD3D_RENDER_SHADOWS", "1") != "0":
+            vis = np.stack([light_visibility(cam, faces, lp)
+                            for lp in _LIGHTS_CAM])
+        colors = shade_lambert(cam, cam_normals,
+                               np.asarray(colors, np.float32),
+                               visibility=vis)
 
     from gd3d import native_runtime
 

@@ -247,3 +247,74 @@ def test_render_glb_tree_end_to_end(tmp_path):
         # depth in mm at ~2 m camera radius
         vals = depth[mask > 0]
         assert 500 < np.median(vals) < 4000
+
+
+def test_light_visibility_blocker_casts_shadow():
+    """A small quad floating between the light and a ground plane occludes
+    the vertices beneath it; uncovered ground stays lit."""
+    from gd3d.data.glb import light_visibility
+    from gd3d import native_runtime
+
+    if native_runtime.load_library() is None:
+        import pytest
+
+        pytest.skip("native rasterizer unbuilt (visibility falls back to 1)")
+
+    # ground plane z=2 (camera space), fine grid so vertices sit under the
+    # blocker; blocker quad at z=1 spanning x,y in [-0.2, 0.2]
+    n = 21
+    xs = np.linspace(-1, 1, n)
+    gx, gy = np.meshgrid(xs, xs)
+    ground = np.stack([gx.ravel(), gy.ravel(),
+                       np.full(n * n, 2.0)], -1)
+    tri = []
+    for r in range(n - 1):
+        for c in range(n - 1):
+            a = r * n + c
+            tri += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    b0 = n * n
+    blocker = np.array([[-0.2, -0.2, 1.0], [0.2, -0.2, 1.0],
+                        [0.2, 0.2, 1.0], [-0.2, 0.2, 1.0]])
+    tri += [[b0, b0 + 1, b0 + 2], [b0, b0 + 2, b0 + 3]]
+    verts = np.concatenate([ground, blocker])
+    faces = np.array(tri, np.int32)
+
+    # light straight above the blocker center
+    vis = light_visibility(verts, faces, np.array([0.0, 0.0, 0.0]))
+    assert vis.shape == (len(verts),)
+    under = (np.abs(ground[:, 0]) < 0.08) & (np.abs(ground[:, 1]) < 0.08)
+    outside = (np.abs(ground[:, 0]) > 0.55) | (np.abs(ground[:, 1]) > 0.55)
+    assert vis[:n * n][under].mean() < 0.2, "blocker casts no shadow"
+    assert vis[:n * n][outside].mean() > 0.95, "open ground wrongly shadowed"
+    assert vis[n * n:].mean() > 0.95, "blocker shadows itself"
+
+
+def test_shadows_only_darken_and_env_kill_switch(tmp_path, monkeypatch):
+    """Shadowed render is pixelwise <= the unshadowed one; depth and mask
+    are identical; GD3D_RENDER_SHADOWS=0 restores the plain Lambert path."""
+    import gd3d.data.render_synthetic as rs
+
+    verts, faces, colors = rs.procedural_object(np.random.RandomState(0))
+    # vertex normals: area-weighted face normals accumulated (good enough)
+    normals = np.zeros_like(verts)
+    fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                  verts[faces[:, 2]] - verts[faces[:, 0]])
+    for k in range(3):
+        np.add.at(normals, faces[:, k], fn)
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True),
+                          1e-9)
+    E = rs.fixed_poses(4)[1]
+    K = rs.DEFAULT_INTRINSIC * (128 / 512.0)
+    K[2, 2] = 1.0
+
+    monkeypatch.setenv("GD3D_RENDER_SHADOWS", "0")
+    rgb_plain, depth_plain, mask_plain = rs.render_mesh(
+        verts, faces, colors, E, K, size=128, normals=normals)
+    monkeypatch.setenv("GD3D_RENDER_SHADOWS", "1")
+    rgb_sh, depth_sh, mask_sh = rs.render_mesh(
+        verts, faces, colors, E, K, size=128, normals=normals)
+
+    np.testing.assert_array_equal(depth_plain, depth_sh)
+    np.testing.assert_array_equal(mask_plain, mask_sh)
+    assert (rgb_sh.astype(int) <= rgb_plain.astype(int) + 1).all(), \
+        "shadows may only darken"
