@@ -60,6 +60,11 @@ def parse_args(argv=None):
                    help="grain worker processes for the host pipeline "
                         "(0 = threaded prefetch only; the reference uses 10 "
                         "DataLoader workers, finetune_timm_mast3r.py:232-240)")
+    p.add_argument("--fsdp-teacher", action="store_true",
+                   help="shard the FROZEN teacher params over the data "
+                        "mesh axis (ZeRO-3-style per-layer all-gathers; "
+                        "gd3d/parallel/fsdp.py) instead of replicating "
+                        "them on every chip")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() before backend "
                         "init: one process per TPU host of a pod slice, "
@@ -129,6 +134,9 @@ def main(argv=None):
     if args.eval_every:
         cfg = cfg.replace(train=cfg.train.__class__(
             **{**cfg.train.__dict__, "eval_every_epochs": args.eval_every}))
+    if args.fsdp_teacher:
+        cfg = cfg.replace(mesh=cfg.mesh.__class__(
+            **{**cfg.mesh.__dict__, "fsdp_teacher": True}))
     epochs = 1 if args.dev else cfg.train.max_epochs
     steps = 2 if args.dev else args.steps_per_epoch
 
@@ -194,6 +202,11 @@ def main(argv=None):
             print("WARNING: no --teacher-ckpt; random MASt3R weights")
             teacher_params = teacher.init_params(
                 jax.random.key(1), hw=(64, 96) if args.tiny else (64, 64))
+        if cfg.mesh.fsdp_teacher:
+            from gd3d.parallel.fsdp import apply_fsdp_sharding
+
+            teacher_params = apply_fsdp_sharding(
+                teacher_params, mesh, with_tp=cfg.mesh.model > 1)
         has_depth = cfg.dataset == "objaverse"
         if args.multistep > 1:
             from gd3d.distill.mast3r_step import build_mast3r_train_multistep
@@ -236,6 +249,14 @@ def main(argv=None):
         else:
             print("WARNING: no --teacher-ckpt; random VGGT weights")
             teacher_params = teacher.init_params(jax.random.key(1), hw=(28, 28))
+        if cfg.mesh.fsdp_teacher:
+            from gd3d.parallel.fsdp import apply_fsdp_sharding, sharded_fraction
+
+            teacher_params = apply_fsdp_sharding(
+                teacher_params, mesh, with_tp=cfg.mesh.model > 1)
+            sh, tot = sharded_fraction(teacher_params, mesh)
+            print(f"fsdp teacher: {sh / 2**20:.0f} / {tot / 2**20:.0f} MiB "
+                  f"sharded over data axis")
         if args.multistep > 1:
             from gd3d.distill.vggt_step import build_vggt_train_multistep
 

@@ -155,6 +155,10 @@ class MeshConfig:
     # global-attention axis (the long-context story for S > 2 frames);
     # shards the token axis over the `data` mesh axis
     sequence_parallel: bool = False
+    # FSDP/ZeRO-3-style sharding of the FROZEN teacher params over the
+    # data axis (gd3d/parallel/fsdp.py): per-layer all-gathers instead of
+    # a replicated 2 GB VGGT-1B resident per chip
+    fsdp_teacher: bool = False
 
     def shape(self, n_devices: int) -> Tuple[int, int]:
         model = max(1, self.model)
