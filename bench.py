@@ -71,6 +71,13 @@ def bench_mast3r(jax, jnp, teacher_dtype=None, metric="mast3r_distill_pairs_per_
     td = teacher_dtype or os.environ.get("GD3D_BENCH_TEACHER_DTYPE")
     if td:
         cfg = cfg.replace(teacher_dtype=td)
+    if (metric == "mast3r_distill_pairs_per_sec"
+            and cfg.teacher_dtype == "bfloat16"):
+        # a GD3D_BENCH_TEACHER_DTYPE=bfloat16 override turns the flagship
+        # run INTO the envelope config — hold it to the envelope target,
+        # not the easier parity one, and name it accordingly
+        metric = "mast3r_distill_pairs_per_sec_bf16env"
+        target = TARGET_MAST3R_ENV
     sd = os.environ.get("GD3D_BENCH_STUDENT_DTYPE", "bfloat16")
     remat = os.environ.get("GD3D_BENCH_REMAT") == "1"
     stream = os.environ.get("GD3D_BENCH_BF16_STREAM") == "1"
@@ -271,11 +278,12 @@ def main() -> None:
 
     flagship = json.dumps(bench_mast3r(jax, jnp))
     print(flagship, flush=True)
-    extras = os.environ.get("GD3D_BENCH_VGGT", "1") != "0"
-    if extras:
+    printed_extra = False
+    if os.environ.get("GD3D_BENCH_VGGT", "1") != "0":
         # guarded: a secondary-metric failure must not cost the flagship
         try:
             print(json.dumps(bench_vggt(jax, jnp)), flush=True)
+            printed_extra = True
         except Exception as e:  # pragma: no cover
             _log(f"VGGT bench failed: {e!r}")
     if (os.environ.get("GD3D_BENCH_ENV", "1") != "0"
@@ -287,10 +295,12 @@ def main() -> None:
                 jax, jnp, teacher_dtype="bfloat16",
                 metric="mast3r_distill_pairs_per_sec_bf16env",
                 target=TARGET_MAST3R_ENV)), flush=True)
+            printed_extra = True
         except Exception as e:  # pragma: no cover
             _log(f"bf16-envelope bench failed: {e!r}")
-    if extras:
-        # keep the last-line contract: the flagship metric is final
+    if printed_extra:
+        # keep the last-line contract: the flagship metric is final,
+        # whatever combination of secondary metrics printed after it
         print(flagship, flush=True)
 
 

@@ -165,11 +165,12 @@ def compute_min_spanning_tree(scores: np.ndarray):
     msp = sp.csgraph.minimum_spanning_tree(g)
 
     def bfs_ranks(start):
-        order, preds = sp.csgraph.breadth_first_order(
+        # ranks[node] = BFS VISITATION index (sparse_ga.py:984-988), NOT
+        # hop depth — the double-BFS midpoint differs on branching trees
+        order, _ = sp.csgraph.breadth_first_order(
             msp, start, directed=False)
-        ranks = np.zeros(scores.shape[0], np.int64)
-        for node in order[1:]:
-            ranks[node] = ranks[preds[node]] + 1
+        ranks = np.arange(len(order))
+        ranks[order] = ranks.copy()
         return ranks
 
     r1 = bfs_ranks(0)
@@ -320,7 +321,8 @@ def build_scene_from_mast3r(teacher, params, images,
                             matching_conf_thr: float = 5.0,
                             temperature: float = 1.0,
                             dtype: Optional[str] = None,
-                            max_corres: int = 1024) -> SparseScene:
+                            max_corres: int = 1024,
+                            pair_chunk: int = 8) -> SparseScene:
     """Frozen-teacher entry: symmetric inference over every unordered pair
     (forward_mast3r :524-553) + reciprocal-NN correspondences.
 
@@ -328,6 +330,13 @@ def build_scene_from_mast3r(teacher, params, images,
     pixels (sqrt of the two sides) — the reference scores with desc_conf
     (extract_correspondences); both are percentile-comparable confidences,
     and matching_conf_thr applies the same gate.
+
+    Pairs run through the teacher in `pair_chunk`-sized batches: the full
+    complete graph is n(n-1)/2 pairs and a single batched ViT-L forward
+    over all of them would scale activation HBM O(n^2) (the reference
+    streams one pair at a time with a disk cache, forward_mast3r
+    :524-531); chunks keep one compiled program (static batch) at bounded
+    memory.
     """
     from gd3d.distill.keypoints import filter_and_match_keypoints
 
@@ -335,10 +344,23 @@ def build_scene_from_mast3r(teacher, params, images,
     H, W = int(images.shape[1]), int(images.shape[2])
     if pairs is None:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    ii = jnp.asarray([p[0] for p in pairs])
-    jj = jnp.asarray([p[1] for p in pairs])
-    feats = teacher.extract_features(
-        params, images[ii], images[jj], temperature, dtype=dtype)
+    ii = np.asarray([p[0] for p in pairs])
+    jj = np.asarray([p[1] for p in pairs])
+    E = len(pairs)
+    chunk = max(1, min(pair_chunk, E))
+    feat_chunks = []
+    for s0 in range(0, E, chunk):
+        sel = np.arange(s0, min(s0 + chunk, E))
+        # pad the tail to the chunk size so every dispatch reuses ONE
+        # compiled program; padded outputs are sliced away
+        pad = np.concatenate([sel, np.zeros(chunk - len(sel), np.int64)])
+        f = teacher.extract_features(
+            params, images[jnp.asarray(ii[pad])],
+            images[jnp.asarray(jj[pad])], temperature, dtype=dtype)
+        feat_chunks.append(
+            {k: np.asarray(v[:len(sel)]) for k, v in f.items()})
+    feats = {k: np.concatenate([c[k] for c in feat_chunks])
+             for k in feat_chunks[0]}
 
     ptmaps = [[] for _ in range(n)]
     confs = [[] for _ in range(n)]
@@ -474,12 +496,14 @@ def _losses(params, scene, median_depths, min_focals, max_focals,
         # loss_2d (:374-392): conf-weighted pixel reprojection error,
         # both directions
         def reproj(e_im, pts):
+            # reproj2d (:976-981): z floor 1e-3, uv clip [-1000, 2000]
             im = jnp.asarray(e_im)
             P = jnp.einsum("eab,ebc->eac", K[im], w2cam[im][:, :3])
             h = jnp.einsum("eab,egb->ega",
                            P, jnp.concatenate(
                                [pts, jnp.ones_like(pts[..., :1])], -1))
-            return h[..., :2] / jnp.clip(h[..., 2:], min=1e-8)
+            uv = h[..., :2] / jnp.clip(h[..., 2:], min=1e-3)
+            return jnp.clip(uv, min=-1000.0, max=2000.0)
 
         err_i = gamma2d(jnp.asarray(scene.pix_i),
                         reproj(scene.e_i, pts_j))
@@ -516,7 +540,11 @@ def sparse_scene_optimizer(
     anchor depthmaps and the per-correspondence sparse 3D points."""
     N = scene.n_imgs
     core0 = jnp.asarray(scene.core_depth0)
-    median_depths = jnp.median(core0, axis=1)
+    # torch .median() = LOWER-middle element on even counts (the anchor
+    # grid is almost always even, e.g. 64x48=3072); jnp.median would
+    # average the two middle values and shift z_cameras on every run
+    A = core0.shape[1]
+    median_depths = jnp.sort(core0, axis=1)[:, (A - 1) // 2]
     imsizes = np.float32([scene.hw[1], scene.hw[0]])
     diag = float(np.linalg.norm(imsizes))
     min_focals, max_focals = 0.25 * diag, 10.0 * diag

@@ -174,10 +174,9 @@ def test_compare_transfer_layout(tmp_path):
         assert len(df) == 1
         for col in ("PCK0.05", "PCK0.10", "PCK0.15"):
             assert 0.0 <= float(df[col].iloc[0]) <= 1.0
-    # the two models have different weights -> independent evaluations
-    # (identical values would suggest the ckpt was ignored)
-    assert not results["transfer/fit3d"].equals(results["transfer/vanilla"]) \
-        or True  # PCK can coincide at tiny geometry; layout is the contract
+    # ckpt-not-ignored is proven by
+    # test_load_fit3d_student_grafts_checkpoint (param-level); PCK values
+    # can coincide at tiny geometry, so no value-inequality assert here
 
 
 @pytest.mark.slow

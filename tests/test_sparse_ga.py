@@ -111,19 +111,35 @@ def test_reference_canonical_view_and_anchors():
 
 @pytest.mark.slow
 def test_reference_min_spanning_tree():
+    """200 random instances: the double-BFS midpoint uses VISITATION-order
+    ranks (sparse_ga.py:984-988), not hop depth — a depth-rank
+    transcription diverged on ~40% of branching trees and a single-seed
+    test missed it."""
     import torch
 
     SG = _ref_sparse_ga()
     rng = np.random.RandomState(3)
-    n = 6
-    scores = rng.rand(n, n).astype(np.float32)
-    scores = (scores + scores.T) / 2
-    np.fill_diagonal(scores, 0.0)
-    w_root, w_edges = SG.compute_min_spanning_tree(torch.from_numpy(scores))
-    g_root, g_edges = compute_min_spanning_tree(scores)
-    assert g_root == w_root
-    assert [tuple(int(v) for v in e) for e in g_edges] == \
-        [tuple(int(v) for v in e) for e in w_edges]
+    for case in range(200):
+        n = int(rng.randint(3, 9))
+        scores = rng.rand(n, n).astype(np.float32)
+        scores = (scores + scores.T) / 2
+        np.fill_diagonal(scores, 0.0)
+        if case % 3 == 0:  # sparsify: non-complete pair graphs too
+            mask = rng.rand(n, n) < 0.4
+            mask = mask | mask.T
+            np.fill_diagonal(mask, False)
+            scores = scores * (~mask)
+            from scipy import sparse as sp
+            ncomp = sp.csgraph.connected_components(
+                sp.csr_array(scores != 0), directed=False)[0]
+            if ncomp > 1:
+                continue
+        w_root, w_edges = SG.compute_min_spanning_tree(
+            torch.from_numpy(scores))
+        g_root, g_edges = compute_min_spanning_tree(scores)
+        assert g_root == w_root, (case, g_root, w_root)
+        assert [tuple(int(v) for v in e) for e in g_edges] == \
+            [tuple(int(v) for v in e) for e in w_edges], case
 
 
 # ------------------------------------------------------ synthetic scenes
