@@ -64,8 +64,27 @@ def parse_args(argv=None):
     p.add_argument("--scannetpp-root", default=None, metavar="SNPP_DIR",
                    help="preprocessed ScanNet++ pretraining dump "
                         "(gd3d-preprocess --dataset scannetpp output)")
+    p.add_argument("--arkit-root", default=None, metavar="ARKIT_DIR",
+                   help="preprocessed ARKitScenes tree (Training/Test "
+                        "subdirs with all_metadata.npz; gd3d-preprocess "
+                        "--dataset arkitscenes output)")
+    p.add_argument("--blendedmvs-root", default=None, metavar="BMVS_DIR",
+                   help="preprocessed BlendedMVS tree (blendedmvs_pairs"
+                        ".npy + per-sequence jpg/exr/npz)")
+    p.add_argument("--megadepth-root", default=None, metavar="MD_DIR",
+                   help="preprocessed MegaDepth tree (all_metadata.npz + "
+                        "per-scene jpg/exr/npz)")
+    p.add_argument("--staticthings-root", default=None, metavar="ST3D_DIR",
+                   help="preprocessed StaticThings3D tree "
+                        "(staticthings_pairs.npy + TRAIN/<scene>/<seq>)")
+    p.add_argument("--waymo-root", default=None, metavar="WAYMO_DIR",
+                   help="preprocessed Waymo Open tree (waymo_pairs.npz + "
+                        "per-scene jpg/exr/npz)")
     p.add_argument("--co3d-split", default="train",
-                   help="selected_seqs_<split>.json to index (default "
+                   help="dataset split to index (selected_seqs_<split>"
+                        ".json for Co3D/WildRGB-D, Training/Test for "
+                        "ARKitScenes, the 90/10 seq split for BlendedMVS, "
+                        "the 0015/0022 holdout for MegaDepth; default "
                         "train)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=1)
@@ -126,31 +145,36 @@ def main(argv=None) -> None:
             enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
             dec_num_heads=2)
 
-    view_roots = [r for r in (args.co3d_root, args.wildrgbd_root,
-                              args.scannetpp_root) if r]
-    if len(view_roots) > 1 or (view_roots and args.data_root):
-        raise SystemExit("--co3d-root/--wildrgbd-root/--scannetpp-root/"
-                         "--data-root are exclusive")
-    if view_roots:
-        from gd3d.data.stereo_views import (
-            Co3dViews,
-            ScanNetppViews,
-            WildRGBDViews,
-            views_pretrain_batch,
-        )
+    from gd3d.data import stereo_views as sv
 
-        # +1: StereoViews keeps the reference's `if self.seed:` quirk
-        # (falsy 0 -> unseeded rng), so the CLI default --seed 0 must
-        # still yield reproducible crop jitter
-        common = dict(resolution=(args.img, args.img), seed=args.seed + 1)
-        if args.co3d_root:
-            views = Co3dViews(args.co3d_root, split=args.co3d_split,
-                              **common)
-        elif args.wildrgbd_root:
-            views = WildRGBDViews(args.wildrgbd_root,
-                                  split=args.co3d_split, **common)
-        else:
-            views = ScanNetppViews(args.scannetpp_root, **common)
+    # (root value, class, split) — split=... means honor --co3d-split;
+    # None means the dataset is splitless (its loader asserts so)
+    view_specs = [
+        (args.co3d_root, sv.Co3dViews, args.co3d_split),
+        (args.wildrgbd_root, sv.WildRGBDViews, args.co3d_split),
+        (args.scannetpp_root, sv.ScanNetppViews, "train"),
+        (args.arkit_root, sv.ARKitScenesViews, args.co3d_split),
+        (args.blendedmvs_root, sv.BlendedMVSViews, args.co3d_split),
+        (args.megadepth_root, sv.MegaDepthViews, args.co3d_split),
+        (args.staticthings_root, sv.StaticThings3DViews, None),
+        (args.waymo_root, sv.WaymoViews, None),
+    ]
+    view_specs = [(r, c, s) for r, c, s in view_specs if r]
+    if len(view_specs) > 1 or (view_specs and args.data_root):
+        raise SystemExit("the --*-root dataset flags and --data-root are "
+                         "mutually exclusive")
+    if view_specs:
+        from gd3d.data.stereo_views import views_pretrain_batch
+
+        # StereoViews keeps the reference's `if self.seed:` quirk (falsy 0
+        # -> unseeded rng). Remap ONLY the falsy default so the CLI's
+        # --seed 0 still yields reproducible crop jitter, while an
+        # explicitly passed nonzero seed is used verbatim (a blanket +1
+        # would silently change the data stream of every rerun)
+        views_seed = args.seed if args.seed else args.seed + 1
+        root, cls, split = view_specs[0]
+        views = cls(root, split=split,
+                    resolution=(args.img, args.img), seed=views_seed)
 
         def base_batch(seed, batch_size, img, corres):
             rng = np.random.RandomState(seed)

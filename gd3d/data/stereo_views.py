@@ -597,6 +597,285 @@ class ScanNetppViews(StereoViews):
         return views
 
 
+# ------------------------------------------------ float-depth file read
+def read_depth_float(path: str) -> np.ndarray:
+    """Float depth stored by the dust3r preprocess trees as EXR
+    (imread_cv2 with IMREAD_ANYDEPTH, dust3r/utils/image.py:31-41). cv2
+    builds without the EXR codec (this image's) fall back to a float32
+    ``<path>.npy`` sibling — the format gd3d-preprocess emits for these
+    datasets precisely so the trees stay loadable everywhere."""
+    try:
+        import cv2
+
+        d = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+        if d is not None:
+            return np.asarray(d, np.float32)
+    except ImportError:
+        pass
+    npy = path + ".npy"
+    if osp.exists(npy):
+        return np.load(npy).astype(np.float32)
+    raise IOError(f"cannot read depth {path}: no cv2 EXR codec and no "
+                  f"{npy} fallback")
+
+
+class ARKitScenesViews(StereoViews):
+    """Preprocessed ARKitScenes layout (arkitscenes.py:17-75): per-split
+    Training/Test subdirs, one all_metadata.npz (scenes/sceneids/images/
+    intrinsics/trajectories/pairs), per-frame vga_wide/*.jpg + mm-uint16
+    lowres_depth/*.png."""
+
+    is_metric_scale = True  # mast3r/datasets/__init__.py:17-20
+
+    def __init__(self, root: str, **kwargs):
+        self.ROOT = root
+        super().__init__(**kwargs)
+        self.split_dir = {"train": "Training",
+                          "test": "Test"}[self.split]  # arkitscenes.py:21-26
+        with np.load(osp.join(root, self.split_dir,
+                              "all_metadata.npz")) as data:
+            self.scenes = data["scenes"]
+            self.sceneids = data["sceneids"]
+            self.images = data["images"]
+            self.intrinsics = data["intrinsics"].astype(np.float32)
+            self.trajectories = data["trajectories"].astype(np.float32)
+            self.pairs = data["pairs"][:, :2].astype(int)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _get_views(self, idx, resolution, rng):
+        views = []
+        for view_idx in self.pairs[idx]:
+            scene_id = self.sceneids[view_idx]
+            scene_dir = osp.join(self.ROOT, self.split_dir,
+                                 str(self.scenes[scene_id]))
+            basename = str(self.images[view_idx])
+            image = Image.open(osp.join(
+                scene_dir, "vga_wide",
+                basename.replace(".png", ".jpg"))).convert("RGB")
+            depthmap = np.asarray(Image.open(
+                osp.join(scene_dir, "lowres_depth", basename))
+            ).astype(np.float32) / 1000.0  # arkitscenes.py:59
+            depthmap[~np.isfinite(depthmap)] = 0
+            image, depthmap, K = self._crop_resize(
+                image, depthmap, self.intrinsics[view_idx].copy(),
+                resolution, rng, info=view_idx)
+            views.append(dict(
+                img=image, depthmap=depthmap.astype(np.float32),
+                camera_pose=self.trajectories[view_idx],
+                camera_intrinsics=K.astype(np.float32),
+                dataset="arkitscenes",
+                label=f"{self.scenes[scene_id]}_{basename}",
+                instance=f"{idx}_{view_idx}"))
+        return views
+
+
+class BlendedMVSViews(StereoViews):
+    """Preprocessed BlendedMVS layout (blendedmvs.py:16-77):
+    blendedmvs_pairs.npy records of (seq_high, seq_low, im1, im2, score),
+    per-sequence dirs named %08x%016x with jpg + EXR depth + npz
+    (intrinsics, R_cam2world, t_cam2world); train/val split by
+    seq_low %% 10 (90/10)."""
+
+    is_metric_scale = False  # mast3r/datasets/__init__.py:23-26
+
+    def __init__(self, root: str, **kwargs):
+        self.ROOT = root
+        super().__init__(**kwargs)
+        pairs = np.load(osp.join(root, "blendedmvs_pairs.npy"))
+        seq_low = (pairs["seq_low"] if pairs.dtype.names
+                   else np.asarray(pairs)[:, 1])
+        if self.split == "train":  # blendedmvs.py:29-34
+            pairs = pairs[(seq_low % 10) > 0]
+        elif self.split == "val":
+            pairs = pairs[(seq_low % 10) == 0]
+        else:
+            assert self.split is None, self.split
+        self.pairs = pairs
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _get_views(self, idx, resolution, rng):
+        seqh, seql, img1, img2, _score = self.pairs[idx]
+        seq_path = osp.join(self.ROOT, f"{int(seqh):08x}{int(seql):016x}")
+        views = []
+        for view_index in (int(img1), int(img2)):
+            impath = f"{view_index:08n}"
+            image = Image.open(
+                osp.join(seq_path, impath + ".jpg")).convert("RGB")
+            depthmap = read_depth_float(osp.join(seq_path, impath + ".exr"))
+            camera = np.load(osp.join(seq_path, impath + ".npz"))
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = camera["R_cam2world"]
+            pose[:3, 3] = camera["t_cam2world"]
+            image, depthmap, K = self._crop_resize(
+                image, depthmap,
+                np.float32(camera["intrinsics"]), resolution, rng,
+                info=(seq_path, impath))
+            views.append(dict(
+                img=image, depthmap=depthmap, camera_pose=pose,
+                camera_intrinsics=K, dataset="BlendedMVS",
+                label=osp.relpath(seq_path, self.ROOT), instance=impath))
+        return views
+
+
+class MegaDepthViews(StereoViews):
+    """Preprocessed MegaDepth layout (megadepth.py:16-96): one
+    all_metadata.npz (scenes as 'scene subscene' strings, images, pairs
+    records of (scene_id, im1_id, im2_id, score)); per-frame jpg + EXR
+    depth + npz (intrinsics, cam2world). train excludes scenes
+    0015/0022, val is exactly those (megadepth.py:24-29)."""
+
+    is_metric_scale = False  # mast3r/datasets/__init__.py:35-38
+
+    HELDOUT = ("0015", "0022")
+
+    def __init__(self, root: str, **kwargs):
+        self.ROOT = root
+        super().__init__(**kwargs)
+        with np.load(osp.join(root, "all_metadata.npz")) as data:
+            self.all_scenes = data["scenes"]
+            self.all_images = data["images"]
+            self.pairs = data["pairs"]
+        if self.split is not None:
+            assert self.split in ("train", "val"), self.split
+            scene_id = np.asarray(
+                [str(s).startswith(self.HELDOUT) for s in self.all_scenes])
+            sid = (self.pairs["scene_id"] if self.pairs.dtype.names
+                   else np.asarray(self.pairs)[:, 0])
+            valid = np.isin(sid, np.nonzero(scene_id)[0])
+            if self.split == "train":
+                valid = ~valid  # select_scene(opposite=True)
+            assert valid.any()
+            self.pairs = self.pairs[valid]
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _get_views(self, idx, resolution, rng):
+        scene_id, im1_id, im2_id, _score = self.pairs[idx]
+        scene, subscene = str(self.all_scenes[int(scene_id)]).split()
+        seq_path = osp.join(self.ROOT, scene, subscene)
+        views = []
+        for im_id in (int(im1_id), int(im2_id)):
+            img = str(self.all_images[im_id])
+            image = Image.open(
+                osp.join(seq_path, img + ".jpg")).convert("RGB")
+            depthmap = read_depth_float(osp.join(seq_path, img + ".exr"))
+            camera = np.load(osp.join(seq_path, img + ".npz"))
+            image, depthmap, K = self._crop_resize(
+                image, depthmap,
+                np.float32(camera["intrinsics"]), resolution, rng,
+                info=(seq_path, img))
+            views.append(dict(
+                img=image, depthmap=depthmap,
+                camera_pose=np.float32(camera["cam2world"]),
+                camera_intrinsics=K, dataset="MegaDepth",
+                label=osp.relpath(seq_path, self.ROOT), instance=img))
+        return views
+
+
+class StaticThings3DViews(StereoViews):
+    """Preprocessed StaticThings3D layout (staticthings3d.py:16-69):
+    staticthings_pairs.npy records of (scene, seq, cam1, im1, cam2, im2)
+    under TRAIN/<scene>/<seq>/{left,right}; per-frame %04d_{clean,final}.jpg
+    (picked at random per item), EXR depth, npz (intrinsics, cam2world);
+    mask_bg zeroes depths > 200 (the synthetic sky plane)."""
+
+    is_metric_scale = False  # mast3r/datasets/__init__.py:47-50
+
+    def __init__(self, root: str, *, mask_bg: Union[bool, str] = "rand",
+                 **kwargs):
+        self.ROOT = root
+        super().__init__(**kwargs)
+        assert self.split is None, "StaticThings3D has no split"
+        assert mask_bg in (True, False, "rand")
+        self.mask_bg = mask_bg
+        self.pairs = np.load(osp.join(root, "staticthings_pairs.npy"))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    @staticmethod
+    def _cam_name(cam) -> str:
+        cam = cam.decode("ascii") if isinstance(cam, bytes) else str(cam)
+        return {"l": "left", "r": "right"}[cam]
+
+    def _get_views(self, idx, resolution, rng):
+        scene, seq, cam1, im1, cam2, im2 = self.pairs[idx]
+        scene = scene.decode("ascii") if isinstance(scene, bytes) \
+            else str(scene)
+        seq_path = osp.join("TRAIN", scene, f"{int(seq):04d}")
+        mask_bg = (self.mask_bg is True) or (
+            self.mask_bg == "rand" and rng.choice(2))
+        views = []
+        for cam, im in ((self._cam_name(cam1), int(im1)),
+                        (self._cam_name(cam2), int(im2))):
+            num = f"{im:04n}"
+            img = num + ("_clean.jpg" if rng.choice(2) else "_final.jpg")
+            image = Image.open(
+                osp.join(self.ROOT, seq_path, cam, img)).convert("RGB")
+            depthmap = read_depth_float(
+                osp.join(self.ROOT, seq_path, cam, num + ".exr"))
+            camera = np.load(
+                osp.join(self.ROOT, seq_path, cam, num + ".npz"))
+            if mask_bg:  # staticthings3d.py:55-56
+                depthmap = np.where(depthmap > 200, 0.0, depthmap)
+            image, depthmap, K = self._crop_resize(
+                image, depthmap,
+                np.float32(camera["intrinsics"]), resolution, rng,
+                info=(seq_path, cam, img))
+            views.append(dict(
+                img=image, depthmap=depthmap,
+                camera_pose=np.float32(camera["cam2world"]),
+                camera_intrinsics=K, dataset="StaticThings3D",
+                label=seq_path, instance=cam + "_" + img))
+        return views
+
+
+class WaymoViews(StereoViews):
+    """Preprocessed Waymo Open layout (waymo.py:16-66): one
+    waymo_pairs.npz (scenes, frames, pairs of (scene_id, im1, im2));
+    per-frame jpg + EXR depth + npz (intrinsics, cam2world)."""
+
+    is_metric_scale = True  # mast3r/datasets/__init__.py:53-56
+
+    def __init__(self, root: str, **kwargs):
+        self.ROOT = root
+        super().__init__(**kwargs)
+        with np.load(osp.join(root, "waymo_pairs.npz")) as data:
+            self.scenes = data["scenes"]
+            self.frames = data["frames"]
+            self.pairs = data["pairs"]
+        assert int(np.max(self.pairs[:, 0])) == len(self.scenes) - 1
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _get_views(self, idx, resolution, rng):
+        seq, img1, img2 = self.pairs[idx]
+        seq_path = osp.join(self.ROOT, str(self.scenes[int(seq)]))
+        views = []
+        for view_index in (int(img1), int(img2)):
+            impath = str(self.frames[view_index])
+            image = Image.open(
+                osp.join(seq_path, impath + ".jpg")).convert("RGB")
+            depthmap = read_depth_float(osp.join(seq_path, impath + ".exr"))
+            camera = np.load(osp.join(seq_path, impath + ".npz"))
+            image, depthmap, K = self._crop_resize(
+                image, depthmap,
+                np.float32(camera["intrinsics"]), resolution, rng,
+                info=(seq_path, impath))
+            views.append(dict(
+                img=image, depthmap=depthmap,
+                camera_pose=np.float32(camera["cam2world"]),
+                camera_intrinsics=K, dataset="Waymo",
+                label=osp.relpath(seq_path, self.ROOT), instance=impath))
+        return views
+
+
 # ----------------------------------------------------- pretrain bridge
 def views_pretrain_batch(dataset: StereoViews, indices: Sequence[int],
                          rng: np.random.RandomState,

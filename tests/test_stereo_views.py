@@ -371,3 +371,226 @@ def test_pretrain_cli_co3d_smoke(tmp_path):
     lines = [json.loads(l) for l in
              (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
     assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
+
+
+# ------------------------------------- EXR-layout datasets (npy fallback)
+def _write_frame(dirpath, stem, w, h, rng, depth=None, pose=None,
+                 split_rt=False):
+    """One preprocessed frame: jpg + float depth (.exr.npy fallback — this
+    image's cv2 lacks the EXR codec) + camera npz."""
+    os.makedirs(dirpath, exist_ok=True)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    Image.fromarray(img).save(os.path.join(dirpath, stem + ".jpg"))
+    if depth is None:
+        depth = (rng.random((h, w)) * 2 + 1).astype(np.float32)
+    np.save(os.path.join(dirpath, stem + ".exr.npy"), depth)
+    K = np.array([[70.0, 0, w / 2], [0, 70.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    if pose is None:
+        pose = np.eye(4, dtype=np.float32)
+    if split_rt:  # BlendedMVS stores R/t separately
+        np.savez(os.path.join(dirpath, stem + ".npz"), intrinsics=K,
+                 R_cam2world=pose[:3, :3], t_cam2world=pose[:3, 3])
+    else:
+        np.savez(os.path.join(dirpath, stem + ".npz"), intrinsics=K,
+                 cam2world=pose)
+    return depth
+
+
+def test_read_depth_float_npy_fallback(tmp_path):
+    from gd3d.data.stereo_views import read_depth_float
+
+    d = np.random.default_rng(0).random((6, 8)).astype(np.float32)
+    np.save(tmp_path / "0000.exr.npy", d)
+    np.testing.assert_array_equal(
+        read_depth_float(str(tmp_path / "0000.exr")), d)
+    with pytest.raises(IOError):
+        read_depth_float(str(tmp_path / "missing.exr"))
+
+
+def test_arkitscenes_views_roundtrip(tmp_path):
+    from gd3d.data.stereo_views import ARKitScenesViews
+
+    rng = np.random.default_rng(21)
+    w, h, n = 80, 60, 3
+    scene = "41069021"
+    sdir = tmp_path / "Training" / scene
+    os.makedirs(sdir / "vga_wide")
+    os.makedirs(sdir / "lowres_depth")
+    K = np.array([[70.0, 0, w / 2], [0, 70.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    names, poses = [], []
+    for i in range(n):
+        name = f"{scene}_{i:.3f}.png"  # stored as .png, rgb saved as .jpg
+        names.append(name)
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(
+            sdir / "vga_wide" / name.replace(".png", ".jpg"))
+        depth_mm = (rng.random((h, w)) * 900 + 600).astype(np.uint16)
+        Image.fromarray(depth_mm).save(sdir / "lowres_depth" / name)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.1 * i, 0, 0]
+        poses.append(pose)
+    np.savez(tmp_path / "Training" / "all_metadata.npz",
+             scenes=np.array([scene]), sceneids=np.zeros(n, np.int64),
+             images=np.array(names), intrinsics=np.stack([K] * n),
+             trajectories=np.stack(poses),
+             pairs=np.array([[0, 1], [1, 2]], np.int64))
+    ds = ARKitScenesViews(str(tmp_path), split="train",
+                          resolution=(48, 32), seed=6)
+    assert ds.is_metric_scale and len(ds) == 2
+    v1, v2 = ds[1]
+    assert v1["dataset"] == "arkitscenes"
+    assert v1["img"].shape == (32, 48, 3)
+    d = v1["depthmap"][v1["valid_mask"]]
+    assert 0.5 < d.min() and d.max() < 1.6  # mm -> m decode
+    with pytest.raises(KeyError):
+        ARKitScenesViews(str(tmp_path), split="val", resolution=(48, 32))
+
+
+def test_blendedmvs_views_split_and_decode(tmp_path):
+    from gd3d.data.stereo_views import BlendedMVSViews
+
+    rng = np.random.default_rng(22)
+    w, h = 80, 60
+    rec = np.dtype([("seq_high", "<i8"), ("seq_low", "<i8"),
+                    ("im1", "<i4"), ("im2", "<i4"), ("score", "<f4")])
+    # seq_low 5 -> train (5 % 10 > 0); seq_low 10 -> val
+    pairs = np.array([(0, 5, 0, 1, 0.9), (0, 10, 0, 1, 0.8)], rec)
+    np.save(tmp_path / "blendedmvs_pairs.npy", pairs)
+    for seql in (5, 10):
+        seq_dir = tmp_path / f"{0:08x}{seql:016x}"
+        for i in range(2):
+            _write_frame(str(seq_dir), f"{i:08n}", w, h, rng,
+                         split_rt=True)
+    train = BlendedMVSViews(str(tmp_path), split="train",
+                            resolution=(48, 32), seed=7)
+    val = BlendedMVSViews(str(tmp_path), split="val",
+                          resolution=(48, 32), seed=7)
+    assert len(train) == 1 and len(val) == 1
+    assert not train.is_metric_scale
+    v1, v2 = train[0]
+    assert v1["dataset"] == "BlendedMVS"
+    assert v1["label"] == f"{0:08x}{5:016x}"
+    assert v1["img"].shape == (32, 48, 3) and v1["valid_mask"].any()
+
+
+def test_megadepth_views_heldout_split(tmp_path):
+    from gd3d.data.stereo_views import MegaDepthViews
+
+    rng = np.random.default_rng(23)
+    w, h = 80, 60
+    scenes = np.array(["0001 0", "0015 0"])
+    images = np.array(["im_a", "im_b", "im_c", "im_d"])
+    rec = np.dtype([("scene_id", "<i8"), ("im1_id", "<i8"),
+                    ("im2_id", "<i8"), ("score", "<f4")])
+    pairs = np.array([(0, 0, 1, 0.5), (1, 2, 3, 0.5)], rec)
+    np.savez(tmp_path / "all_metadata.npz", scenes=scenes, images=images,
+             pairs=pairs)
+    for scene, ims in (("0001", ("im_a", "im_b")),
+                       ("0015", ("im_c", "im_d"))):
+        for im in ims:
+            _write_frame(str(tmp_path / scene / "0"), im, w, h, rng)
+    train = MegaDepthViews(str(tmp_path), split="train",
+                           resolution=(48, 32), seed=8)
+    val = MegaDepthViews(str(tmp_path), split="val",
+                         resolution=(48, 32), seed=8)
+    # 0015/0022 are the held-out scenes (megadepth.py:24-29)
+    assert len(train) == 1 and len(val) == 1
+    assert not train.is_metric_scale
+    v1, _ = val[0]
+    assert v1["dataset"] == "MegaDepth" and v1["label"] == "0015/0"
+    v1, _ = train[0]
+    assert v1["label"] == "0001/0" and v1["img"].shape == (32, 48, 3)
+
+
+def test_staticthings3d_views_mask_bg(tmp_path):
+    from gd3d.data.stereo_views import StaticThings3DViews
+
+    rng = np.random.default_rng(24)
+    w, h = 80, 60
+    rec = np.dtype([("scene", "S2"), ("seq", "<i4"), ("cam1", "S1"),
+                    ("im1", "<i4"), ("cam2", "S1"), ("im2", "<i4")])
+    pairs = np.array([(b"A", 0, b"l", 6, b"r", 7)], rec)
+    np.save(tmp_path / "staticthings_pairs.npy", pairs)
+    # far background plane at depth 300 in the top rows
+    depth = (rng.random((h, w)) * 50 + 10).astype(np.float32)
+    depth[:10] = 300.0
+    for cam in ("left", "right"):
+        for i in (6, 7):
+            d = str(tmp_path / "TRAIN" / "A" / "0000" / cam)
+            _write_frame(d, f"{i:04n}", w, h, rng, depth=depth)
+            # both random jpg variants must exist (staticthings3d.py:47)
+            os.link(os.path.join(d, f"{i:04n}.jpg"),
+                    os.path.join(d, f"{i:04n}_clean.jpg"))
+            os.rename(os.path.join(d, f"{i:04n}.jpg"),
+                      os.path.join(d, f"{i:04n}_final.jpg"))
+    ds = StaticThings3DViews(str(tmp_path), mask_bg=True,
+                             resolution=(48, 32), seed=9)
+    assert not ds.is_metric_scale and len(ds) == 1
+    v1, v2 = ds[0]
+    assert v1["dataset"] == "StaticThings3D"
+    assert v1["instance"].startswith("left_0006")
+    assert v2["instance"].startswith("right_0007")
+    # mask_bg=True zeroes depth > 200 -> those pixels invalid
+    assert (v1["depthmap"] <= 200).all()
+    assert not v1["valid_mask"].all() and v1["valid_mask"].any()
+    nomask = StaticThings3DViews(str(tmp_path), mask_bg=False,
+                                 resolution=(48, 32), seed=9)
+    assert nomask[0][0]["valid_mask"].all()
+
+
+def test_waymo_views_roundtrip(tmp_path):
+    from gd3d.data.stereo_views import WaymoViews
+
+    rng = np.random.default_rng(25)
+    w, h = 80, 60
+    np.savez(tmp_path / "waymo_pairs.npz",
+             scenes=np.array(["segment-1"]),
+             frames=np.array(["00000_1", "00001_1"]),
+             pairs=np.array([[0, 0, 1]], np.int64))
+    for f in ("00000_1", "00001_1"):
+        _write_frame(str(tmp_path / "segment-1"), f, w, h, rng)
+    ds = WaymoViews(str(tmp_path), resolution=(48, 32), seed=10)
+    assert ds.is_metric_scale and len(ds) == 1
+    v1, v2 = ds[0]
+    assert v1["dataset"] == "Waymo" and v1["label"] == "segment-1"
+    assert v1["img"].shape == (32, 48, 3) and v1["valid_mask"].any()
+
+
+def test_pretrain_cli_arkit_smoke(tmp_path, monkeypatch):
+    """gd3d-pretrain --arkit-root: the new loaders plug into the CLI's
+    stereo-view path end-to-end."""
+    from gd3d.cli.pretrain import main
+
+    rng = np.random.default_rng(26)
+    w, h, n = 80, 60, 3
+    scene = "41069021"
+    root = tmp_path / "arkit"
+    sdir = root / "Training" / scene
+    os.makedirs(sdir / "vga_wide")
+    os.makedirs(sdir / "lowres_depth")
+    K = np.array([[70.0, 0, w / 2], [0, 70.0, h / 2], [0, 0, 1]],
+                 np.float32)
+    names, poses = [], []
+    for i in range(n):
+        name = f"{scene}_{i:.3f}.png"
+        names.append(name)
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(
+            sdir / "vga_wide" / name.replace(".png", ".jpg"))
+        depth_mm = (rng.random((h, w)) * 900 + 600).astype(np.uint16)
+        Image.fromarray(depth_mm).save(sdir / "lowres_depth" / name)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.05 * i, 0, 0]
+        poses.append(pose)
+    np.savez(root / "Training" / "all_metadata.npz",
+             scenes=np.array([scene]), sceneids=np.zeros(n, np.int64),
+             images=np.array(names), intrinsics=np.stack([K] * n),
+             trajectories=np.stack(poses),
+             pairs=np.array([[0, 1], [1, 2]], np.int64))
+    main(["--output", str(tmp_path / "run"), "--arkit-root", str(root),
+          "--steps", "2", "--tiny", "--img", "64", "--corres", "16"])
+    lines = [json.loads(l) for l in
+             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
