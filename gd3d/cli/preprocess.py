@@ -360,9 +360,11 @@ def run_wildrgbd(args) -> None:
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
-        description="Preprocess a raw Co3D-v2 / WildRGB-D / ScanNet++ "
-                    "download into the tree gd3d-pretrain consumes")
-    p.add_argument("--dataset", choices=("co3d", "wildrgbd", "scannetpp"),
+        description="Preprocess a raw Co3D-v2 / WildRGB-D / ScanNet++ / "
+                    "ARKitScenes download into the tree gd3d-pretrain "
+                    "consumes")
+    p.add_argument("--dataset", choices=("co3d", "wildrgbd", "scannetpp",
+                                         "arkitscenes"),
                    default="co3d")
     p.add_argument("--co3d-dir", default=None,
                    help="raw dataset root (alias of --raw-dir, kept for "
@@ -385,8 +387,9 @@ def parse_args(argv=None):
     p.add_argument("--target-resolution", type=int, default=920,
                    help="scannetpp: long-side resolution")
     p.add_argument("--pairs-dir", default=None,
-                   help="scannetpp: precomputed-pairs dir (scene_list.json "
-                        "+ per-scene selected_pairs.npz)")
+                   help="scannetpp/arkitscenes: precomputed-pairs dir "
+                        "(scene_list.json + per-scene selected_pairs.npz; "
+                        "per Training/Test split for arkitscenes)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
     args.raw_dir = args.raw_dir or args.co3d_dir
@@ -404,6 +407,10 @@ def main(argv=None) -> None:
     if args.dataset == "scannetpp":
         from gd3d.data.preprocess_scannetpp import run_scannetpp
         run_scannetpp(args)
+        return
+    if args.dataset == "arkitscenes":
+        from gd3d.data.preprocess_arkitscenes import run_arkitscenes
+        run_arkitscenes(args)
         return
     args.co3d_dir = args.raw_dir
     if args.category is None:
