@@ -364,7 +364,8 @@ def parse_args(argv=None):
                     "ARKitScenes download into the tree gd3d-pretrain "
                     "consumes")
     p.add_argument("--dataset", choices=("co3d", "wildrgbd", "scannetpp",
-                                         "arkitscenes"),
+                                         "arkitscenes", "blendedmvs",
+                                         "staticthings3d", "megadepth"),
                    default="co3d")
     p.add_argument("--co3d-dir", default=None,
                    help="raw dataset root (alias of --raw-dir, kept for "
@@ -389,7 +390,9 @@ def parse_args(argv=None):
     p.add_argument("--pairs-dir", default=None,
                    help="scannetpp/arkitscenes: precomputed-pairs dir "
                         "(scene_list.json + per-scene selected_pairs.npz; "
-                        "per Training/Test split for arkitscenes)")
+                        "per Training/Test split for arkitscenes). For "
+                        "blendedmvs/staticthings3d/megadepth: the "
+                        "precomputed pairs FILE itself")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
     args.raw_dir = args.raw_dir or args.co3d_dir
@@ -411,6 +414,14 @@ def main(argv=None) -> None:
     if args.dataset == "arkitscenes":
         from gd3d.data.preprocess_arkitscenes import run_arkitscenes
         run_arkitscenes(args)
+        return
+    if args.dataset in ("blendedmvs", "staticthings3d", "megadepth"):
+        from gd3d.data import preprocess_mvs
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        {"blendedmvs": preprocess_mvs.run_blendedmvs,
+         "staticthings3d": preprocess_mvs.run_staticthings3d,
+         "megadepth": preprocess_mvs.run_megadepth}[args.dataset](args)
         return
     args.co3d_dir = args.raw_dir
     if args.category is None:
