@@ -80,6 +80,12 @@ def parse_args(argv=None):
     p.add_argument("--waymo-root", default=None, metavar="WAYMO_DIR",
                    help="preprocessed Waymo Open tree (waymo_pairs.npz + "
                         "per-scene jpg/exr/npz)")
+    p.add_argument("--habitat-root", default=None, metavar="HAB_DIR",
+                   help="preprocessed Habitat render tree "
+                        "(Habitat_<size>_scenes_<split>.txt + per-scene "
+                        "jpeg/exr/json 5-view groups)")
+    p.add_argument("--habitat-size", type=int, default=1_000_000,
+                   help="the <size> in the habitat scene-list filename")
     p.add_argument("--co3d-split", default="train",
                    help="dataset split to index (selected_seqs_<split>"
                         ".json for Co3D/WildRGB-D, Training/Test for "
@@ -158,6 +164,9 @@ def main(argv=None) -> None:
         (args.megadepth_root, sv.MegaDepthViews, args.co3d_split),
         (args.staticthings_root, sv.StaticThings3DViews, None),
         (args.waymo_root, sv.WaymoViews, None),
+        (args.habitat_root,
+         functools.partial(sv.HabitatViews, size=args.habitat_size),
+         args.co3d_split),
     ]
     view_specs = [(r, c, s) for r, c, s in view_specs if r]
     if len(view_specs) > 1 or (view_specs and args.data_root):

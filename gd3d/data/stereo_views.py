@@ -876,6 +876,71 @@ class WaymoViews(StereoViews):
         return views
 
 
+class HabitatViews(StereoViews):
+    """Preprocessed Habitat renders (habitat.py:20-79): scene list from
+    Habitat_<size>_scenes_<split>.txt, per scene 5 views named
+    <key>_<1..5>.{jpeg,_depth.exr,_camera_params.json}; each item pairs
+    view 0 with a random other view (view 0 is connected to all),
+    walking forward past views whose stored pose is non-finite."""
+
+    # habitat is dust3r-only (never wrapped in mast3r/datasets/
+    # __init__.py), so it keeps the base default is_metric_scale=False
+
+    def __init__(self, root: str, size: int, **kwargs):
+        self.ROOT = root
+        super().__init__(**kwargs)
+        assert self.split is not None
+        with open(osp.join(root,
+                           f"Habitat_{size}_scenes_{self.split}.txt")) as f:
+            self.scenes = f.read().splitlines()
+        self.instances = list(range(1, 5))
+
+    def filter_scene(self, label, instance=None):
+        """(habitat.py:30-37)."""
+        if instance:
+            subscene, instance = instance.split("_")
+            label += "/" + subscene
+            self.instances = [int(instance) - 1]
+        valid = [scene.startswith(label) for scene in self.scenes]
+        assert sum(valid), f"no scene was selected for {label=}"
+        self.scenes = [s for s, v in zip(self.scenes, valid) if v]
+
+    def _load_one_view(self, data_path, key, view_index, resolution, rng):
+        view_index += 1  # file indices start at 1
+        impath = osp.join(data_path, f"{key}_{view_index}.jpeg")
+        image = Image.open(impath).convert("RGB")
+        depthmap = read_depth_float(
+            osp.join(data_path, f"{key}_{view_index}_depth.exr"))
+        with open(osp.join(
+                data_path,
+                f"{key}_{view_index}_camera_params.json")) as f:
+            camera = json.load(f)
+        K = np.float32(camera["camera_intrinsics"])
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = camera["R_cam2world"]
+        pose[:3, 3] = camera["t_cam2world"]
+        image, depthmap, K = self._crop_resize(
+            image, depthmap, K, resolution, rng, info=impath)
+        return image, depthmap, K, pose
+
+    def _get_views(self, idx, resolution, rng):
+        scene = self.scenes[idx]
+        data_path, key = osp.split(osp.join(self.ROOT, scene))
+        views = []
+        for view_index in (0, int(rng.choice(self.instances))):
+            for ii in range(view_index, view_index + 5):  # skip broken
+                image, depthmap, K, pose = self._load_one_view(
+                    data_path, key, ii % 5, resolution, rng)
+                if np.isfinite(pose).all():
+                    break
+            views.append(dict(
+                img=image, depthmap=depthmap, camera_pose=pose,
+                camera_intrinsics=K, dataset="Habitat",
+                label=osp.relpath(data_path, self.ROOT),
+                instance=f"{key}_{view_index}"))
+        return views
+
+
 # ----------------------------------------------------- pretrain bridge
 def views_pretrain_batch(dataset: StereoViews, indices: Sequence[int],
                          rng: np.random.RandomState,

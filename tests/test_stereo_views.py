@@ -594,3 +594,48 @@ def test_pretrain_cli_arkit_smoke(tmp_path, monkeypatch):
     lines = [json.loads(l) for l in
              (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
     assert len(lines) == 2 and np.isfinite(lines[-1]["loss"])
+
+
+def test_habitat_views_roundtrip(tmp_path):
+    from gd3d.data.stereo_views import HabitatViews
+
+    rng = np.random.default_rng(27)
+    w, h = 80, 60
+    scene_rel = os.path.join("sceneA", "00000")
+    data_dir = tmp_path / "sceneA"
+    os.makedirs(data_dir)
+    K = np.array([[70.0, 0, w / 2], [0, 70.0, h / 2], [0, 0, 1]])
+    for i in range(1, 6):  # file indices start at 1 (habitat.py:61)
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(data_dir / f"00000_{i}.jpeg")
+        np.save(data_dir / f"00000_{i}_depth.exr.npy",
+                (rng.random((h, w)) * 2 + 1).astype(np.float32))
+        pose_R = np.eye(3)
+        # view 2 stores a broken (non-finite) pose: items drawing it must
+        # walk forward to view 3 (habitat.py:46-49)
+        t = [np.nan] * 3 if i == 2 else [0.1 * i, 0.0, 0.0]
+        with open(data_dir / f"00000_{i}_camera_params.json", "w") as f:
+            json.dump({"camera_intrinsics": K.tolist(),
+                       "R_cam2world": pose_R.tolist(),
+                       "t_cam2world": t}, f)
+    with open(tmp_path / "Habitat_1000000_scenes_train.txt", "w") as f:
+        f.write(scene_rel + "\n")
+
+    ds = HabitatViews(str(tmp_path), 1_000_000, split="train",
+                      resolution=(48, 32), seed=16)
+    assert not ds.is_metric_scale and len(ds) == 1
+    # instances are 1..4; rng.choice(1) can land on the broken view 2
+    # (0-based index 1 -> file _2): the walk must yield a finite pose
+    for trial in range(6):
+        ds.seed = 16 + trial
+        v1, v2 = ds[0]
+        assert v1["dataset"] == "Habitat"
+        assert np.isfinite(v1["camera_pose"]).all()
+        assert np.isfinite(v2["camera_pose"]).all()
+        assert v1["instance"] == "00000_0"
+    assert v1["img"].shape == (32, 48, 3) and v1["valid_mask"].any()
+    # filter_scene narrows the list (habitat.py:30-37)
+    ds.filter_scene("sceneA")
+    assert len(ds.scenes) == 1
+    with pytest.raises(AssertionError):
+        ds.filter_scene("nope")
