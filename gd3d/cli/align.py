@@ -47,6 +47,22 @@ def parse_args(argv=None):
                         "-1 = auto: sparse 1024 when the scene exceeds "
                         "200k dense points (dense cold-compiles in "
                         "minutes on a small host); 0 forces dense")
+    p.add_argument("--sparse-ga", action="store_true",
+                   help="use the reference's TWO-STAGE MASt3R sparse "
+                        "global alignment (gd3d/sparse_ga.py; "
+                        "mast3r/cloud_opt/sparse_ga.py parity: canonical "
+                        "pointmaps, kinematic-chain cameras, coarse "
+                        "3D-matching stage then fine 2D-reprojection "
+                        "stage) instead of the PointCloudOptimizer loop; "
+                        "depth/pointmaps are densified from the optimized "
+                        "anchors. --niter/--lr/--sparse/--tsdf/--colmap* "
+                        "apply to the default path only")
+    p.add_argument("--ga-niter1", type=int, default=500,
+                   help="--sparse-ga coarse-stage iterations")
+    p.add_argument("--ga-niter2", type=int, default=500,
+                   help="--sparse-ga fine-stage iterations (0 skips)")
+    p.add_argument("--ga-subsample", type=int, default=8,
+                   help="--sparse-ga anchor-grid stride")
     p.add_argument("--tsdf", type=float, default=0.0, metavar="THRESH",
                    help="TSDF depth refinement after alignment (MASt3R "
                         "TSDFPostProcess analogue; dense scenes only; "
@@ -135,6 +151,9 @@ def main(argv=None) -> None:
         pairs = None  # scene_from_mast3r's complete-graph fast path
     else:
         pairs = make_pair_indices(n, graph, prefilter=args.pair_filter)
+    if args.sparse_ga:
+        _run_sparse_ga(args, teacher, params, images, pairs, files)
+        return
     desc_i = desc_j = None
     if args.colmap_db:
         scene, desc_i, desc_j = scene_from_mast3r(
@@ -250,6 +269,70 @@ def main(argv=None) -> None:
             str(outdir / "scene.html"), pts, cols,
             np.asarray(out["poses"]), np.asarray(out["focals"]),
             hw=scene.hw)
+        print(f"browser viewer -> {html}")
+
+    if args.ply:
+        ply = outdir / "pointcloud.ply"
+        with open(ply, "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\n"
+                f"element vertex {len(pts)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\nend_header\n")
+            for p, c in zip(pts, cols):
+                f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f} "
+                        f"{c[0]} {c[1]} {c[2]}\n")
+        print(f"wrote {len(pts)} points -> {ply}")
+
+
+def _run_sparse_ga(args, teacher, params, images, pairs, files) -> None:
+    """The --sparse-ga path: two-stage sparse global alignment + anchor
+    densification, writing the same scene.npz/.ply/.html artifacts."""
+    from gd3d.sparse_ga import dense_pts3d, sparse_global_alignment
+
+    for flag in ("tsdf", "colmap", "colmap_db"):
+        if getattr(args, flag):
+            print(f"WARNING: --{flag.replace('_', '-')} applies to the "
+                  "dense path; ignored under --sparse-ga")
+    n = int(images.shape[0])
+    scene, res = sparse_global_alignment(
+        teacher, params, images, pairs=pairs,
+        subsample=args.ga_subsample,
+        niter1=args.ga_niter1, niter2=args.ga_niter2)
+    best = res["fine"] if res["fine"] is not None else res["coarse"]
+    pts_list, depth_list = dense_pts3d(scene, best)
+    K = np.asarray(best["intrinsics"])
+    H, W = scene.hw
+    pts3d = np.stack(pts_list).astype(np.float32)  # (N, H*W, 3)
+
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    np.savez(
+        outdir / "scene.npz",
+        poses=np.asarray(best["cam2w"], np.float32),
+        focals=K[:, 0, 0].astype(np.float32),
+        principal_points=K[:, :2, 2].astype(np.float32),
+        depthmaps=np.stack(depth_list).astype(np.float32),
+        pts3d=pts3d,
+        images=np.asarray(images),
+    )
+    stage = "fine" if res["fine"] is not None else "coarse"
+    print(f"sparse-GA aligned {n} images ({stage} stage, "
+          f"{int(scene.valid.sum())} correspondences) -> "
+          f"{outdir / 'scene.npz'}")
+
+    if args.ply or args.html:
+        pts = pts3d.reshape(-1, 3)
+        cols = ((np.asarray(images) + 1) * 127.5).clip(0, 255).astype(
+            np.uint8).reshape(-1, 3)
+
+    if args.html:
+        from gd3d.utils.html_viewer import write_html_viewer
+
+        html = write_html_viewer(
+            str(outdir / "scene.html"), pts, cols,
+            np.asarray(best["cam2w"]), K[:, 0, 0], hw=scene.hw)
         print(f"browser viewer -> {html}")
 
     if args.ply:

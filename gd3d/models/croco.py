@@ -111,6 +111,7 @@ class RopeCrossAttention(nn.Module):
 class CrocoEncoderBlock(nn.Module):
     cfg: CrocoConfig
     scanned: bool = False
+    collect: bool = False  # when scanned: also emit each block's output
 
     @nn.compact
     def __call__(self, x, pos):
@@ -124,7 +125,7 @@ class CrocoEncoderBlock(nn.Module):
             cfg.enc_embed_dim, int(cfg.enc_embed_dim * cfg.mlp_ratio), name="mlp"
         )(y)
         if self.scanned:
-            return x, None
+            return x, (x if self.collect else None)
         return x
 
 
@@ -181,9 +182,15 @@ class CrocoEncoder(nn.Module):
     __call__(imgs NHWC in [-1, 1]) -> (tokens (B, N, C), positions (B, N, 2)).
     The 24 identical blocks run as one nn.scan with weight-stacked params
     (compile-time: one traced block instead of 24 inlined copies).
+
+    collect_all=True additionally returns the stacked per-block outputs
+    (L, B, N, C) UN-normed (croco.py:160-165 applies enc_norm only to the
+    last element; downstream DPT hooks may tap earlier blocks) — the return
+    becomes (normed_final, pos, all_blocks).
     """
 
     cfg: CrocoConfig
+    collect_all: bool = False
 
     @nn.compact
     def __call__(self, imgs):
@@ -205,6 +212,10 @@ class CrocoEncoder(nn.Module):
             in_axes=nn.broadcast,
             out_axes=0,
         )
-        x, _ = Scanned(cfg, scanned=True, name="enc_blocks")(x, pos)
+        x, ys = Scanned(
+            cfg, scanned=True, collect=self.collect_all, name="enc_blocks"
+        )(x, pos)
         x = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="enc_norm")(x)
+        if self.collect_all:
+            return x, pos, ys
         return x, pos

@@ -362,3 +362,30 @@ def test_sparse_global_alignment_with_tiny_teacher():
     assert scene.n_imgs == 3
     assert res["fine"]["cam2w"].shape == (3, 4, 4)
     assert np.isfinite(res["fine"]["cam2w"]).all()
+
+
+@pytest.mark.slow
+def test_sparse_ga_cli_smoke(tmp_path):
+    """gd3d-align --sparse-ga end to end: synthetic views through the
+    two-stage flow, densified scene.npz (+ ply) artifacts."""
+    from gd3d.cli.align import main
+    from gd3d.data.render_synthetic import render_object_tree
+
+    render_object_tree(str(tmp_path), ["obj"], n_views=3, size=96)
+    imgs = sorted((tmp_path / "obj").glob("color_*.png"))
+    out = tmp_path / "scene"
+    main(["--images", *map(str, imgs), "--output", str(out), "--tiny",
+          "--size", "224", "--sparse-ga", "--ga-niter1", "5",
+          "--ga-niter2", "5", "--ga-subsample", "16", "--ply",
+          "--tsdf", "0.3"])  # --tsdf must be ignored with a warning
+    z = np.load(out / "scene.npz")
+    n = len(imgs)
+    assert z["poses"].shape == (n, 4, 4)
+    assert np.all(np.isfinite(z["poses"]))
+    H, W = z["depthmaps"].shape[1:]
+    assert z["pts3d"].shape == (n, H * W, 3)
+    assert np.all(np.isfinite(z["pts3d"]))
+    assert z["focals"].shape == (n,)
+    assert (out / "pointcloud.ply").exists()
+    header = (out / "pointcloud.ply").read_text().splitlines()[:2]
+    assert header[0] == "ply"
