@@ -163,7 +163,7 @@ def convert_stereoflow(
     crocostereo.pth / crocoflow.pth layout, or croco_downstream.py applied
     to a fresh torch model) to the gd3d param tree."""
     from gd3d.teachers.convert import _conv, _layernorm, _linear, _stack_trees
-    from gd3d.teachers.mast3r import _dec_block_tree, _dpt_tree, _enc_block
+    from gd3d.teachers.mast3r import _decoder_block, _dpt_tree, _enc_block
 
     c = cfg.croco
     params: dict = {
@@ -179,7 +179,7 @@ def convert_stereoflow(
         "dec_blocks": {
             "blk": _stack_trees(
                 [
-                    _dec_block_tree(state, f"dec_blocks.{i}")
+                    _decoder_block(state, f"dec_blocks.{i}")
                     for i in range(c.dec_depth)
                 ]
             )
