@@ -447,6 +447,87 @@ def test_overlapping_starts_reference_direct():
             overlapping_starts(total, window, ov), ref)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("task", ["stereo", "flow"])
+def test_reference_direct_stereoflow_model(task):
+    """The ACTUAL CroCoDownstreamBinocular + PixelwiseTaskWithDPT from
+    /root/reference (tiny dims, random weights) vs gd3d's StereoFlow with
+    convert_stereoflow-converted weights.
+
+    The reference's own forward is dead code in-tree (its `_decoder`
+    2-tuple unpack predates the fork's 3-tuple DecoderBlock return,
+    croco.py:206 vs blocks.py:189-195), so the decoder loop is driven
+    manually with the fork-compatible unpack — exactly the semantics
+    croco_downstream.py:116-122 composes (enc all-blocks + dec all-blocks,
+    last entries normed, head over the concatenated hook list)."""
+    import torch
+
+    if "timm" not in sys.modules:
+        sys.modules["timm"] = types.ModuleType("timm")
+    for p in ("/root/reference/dust3r", "/root/reference/dust3r/croco"):
+        if p not in sys.path:
+            sys.path.append(p)
+    from models.croco_downstream import CroCoDownstreamBinocular
+    from models.head_downstream import PixelwiseTaskWithDPT
+
+    from gd3d.models.croco import CrocoConfig
+    from gd3d.models.stereoflow import (StereoFlow, StereoFlowConfig,
+                                        convert_stereoflow)
+
+    C = {"stereo": 1, "flow": 2}[task]
+    torch.manual_seed(3)
+    # test.py:59-66: head num_channels = task channels + 1 (with_conf);
+    # hooks explicit because the auto formula needs dec_depth in {8,12,24}
+    head = PixelwiseTaskWithDPT(hooks_idx=[0, 1, 2, 3],
+                                layer_dims=[8, 16, 24, 32],
+                                num_channels=C + 1)
+    ref = CroCoDownstreamBinocular(
+        head, img_size=64, patch_size=16, enc_embed_dim=32, enc_depth=2,
+        enc_num_heads=2, dec_embed_dim=16, dec_depth=2, dec_num_heads=2,
+        pos_embed="RoPE100").eval()
+
+    rng = np.random.RandomState(11)
+    H = W = 64
+    img1 = rng.randn(2, 3, H, W).astype(np.float32)
+    img2 = rng.randn(2, 3, H, W).astype(np.float32)
+    with torch.no_grad():
+        t1, t2 = torch.from_numpy(img1), torch.from_numpy(img2)
+        # encode_image_pairs (croco_downstream.py:94-107): one 2B batch,
+        # all blocks, last entry enc_norm'd inside _encode_image
+        out, pos, _ = ref._encode_image(torch.cat((t1, t2), dim=0),
+                                        do_mask=False, return_all_blocks=True)
+        out, out2 = map(list, zip(*[o.chunk(2, dim=0) for o in out]))
+        pos1, pos2 = pos.chunk(2, dim=0)
+        # _decoder (croco.py:173-208) with the fork's 3-tuple unpack
+        x = ref.decoder_embed(out[-1])
+        y = ref.decoder_embed(out2[-1])
+        dec = []
+        for blk in ref.dec_blocks:
+            x, y, _ = blk(x, y, pos1, pos2)
+            dec.append(x)
+        dec[-1] = ref.dec_norm(dec[-1])
+        ref_out = ref.head(out + dec, {"height": H, "width": W}).numpy()
+
+    cfg = StereoFlowConfig(
+        croco=CrocoConfig(patch_size=16, enc_embed_dim=32, enc_depth=2,
+                          enc_num_heads=2, dec_embed_dim=16, dec_depth=2,
+                          dec_num_heads=2),
+        task=task, with_conf=True, hooks=(0, 1, 2, 3),
+        dpt_layer_dims=(8, 16, 24, 32))
+    params = convert_stereoflow(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    model = StereoFlow(cfg)
+    j1 = np.moveaxis(img1, 1, -1)
+    j2 = np.moveaxis(img2, 1, -1)
+    pred, conf = model.apply({"params": params}, j1, j2)
+
+    np.testing.assert_allclose(np.asarray(pred),
+                               np.moveaxis(ref_out[:, :C], 1, -1),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(conf), ref_out[:, C],
+                               rtol=1e-4, atol=2e-4)
+
+
 def test_bicubic_matches_torch():
     """resize_bicubic_torch vs torch F.interpolate (engine.py:163-164)."""
     torch = pytest.importorskip("torch")
