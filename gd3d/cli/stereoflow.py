@@ -63,6 +63,9 @@ def parse_args(argv=None):
     common(e)
     e.add_argument("--root", required=True)
     e.add_argument("--layout", default="generic")
+    e.add_argument("--split", default="train", choices=["train", "test"],
+                   help="dataset split for layouts that have one (kitti15 "
+                        "training/ vs testing/, sintel)")
     e.add_argument("--output", required=True)
     e.add_argument("--tile-overlap", type=float, default=0.7)
     e.add_argument("--tile-conf-mode", default=None,
@@ -111,7 +114,10 @@ def _build(args):
 
         from gd3d.models.stereoflow import convert_stereoflow
 
-        ckpt = torch.load(args.torch_ckpt, map_location="cpu")
+        # weights_only=False: the released checkpoints pickle an
+        # argparse.Namespace under 'args' (stereoflow/test.py:56)
+        ckpt = torch.load(args.torch_ckpt, map_location="cpu",
+                          weights_only=False)
         state = ckpt.get("model", ckpt)
         params = jax.tree_util.tree_map(
             np.asarray, convert_stereoflow(state, cfg))
@@ -138,21 +144,18 @@ def _save_params(path, params) -> None:
 def _criterion(args):
     from gd3d.stereoflow import CRITERIA, DEFAULT_CRITERION
 
-    name = getattr(args, "criterion", None) or DEFAULT_CRITERION[args.task]
-    if args.no_conf:
-        name = "L1Loss()"
+    explicit = getattr(args, "criterion", None)
+    name = explicit or DEFAULT_CRITERION[args.task]
     if name not in CRITERIA:
         raise SystemExit(
             f"unknown criterion {name!r}; choices: {sorted(CRITERIA)}")
+    if args.no_conf:
+        if explicit and CRITERIA[explicit].with_conf:
+            raise SystemExit(
+                f"--no-conf is incompatible with {explicit!r} (it consumes "
+                "a confidence channel); drop one of the two flags")
+        name = "L1Loss()"
     return CRITERIA[name]
-
-
-def _pad_batch(items, batch):
-    """Pad the final partial batch by repeating the last item (static
-    shapes for one compiled step)."""
-    while len(items) < batch:
-        items.append(items[-1])
-    return items
 
 
 def cmd_train(args) -> None:
@@ -164,8 +167,6 @@ def cmd_train(args) -> None:
                                  make_stereoflow_optimizer)
 
     crit = _criterion(args)
-    if crit.with_conf == args.no_conf:
-        raise SystemExit("criterion/confidence mismatch")
     model, cfg, params = _build(args)
     crop = tuple(args.crop) if args.crop else DEFAULT_CROP[args.task]
     if args.tiny and not args.crop:
@@ -189,7 +190,7 @@ def cmd_train(args) -> None:
     t0 = time.perf_counter()
     for s in range(args.steps):
         idx = [int(rng.randint(len(ds))) for _ in range(args.batch)]
-        items = _pad_batch([ds[i] for i in idx], args.batch)
+        items = [ds[i] for i in idx]
         img1 = jnp.asarray(np.stack([it["img1"] for it in items]))
         img2 = jnp.asarray(np.stack([it["img2"] for it in items]))
         gt = jnp.asarray(np.stack([it["gt"] for it in items]))
@@ -208,8 +209,6 @@ def cmd_train(args) -> None:
 
 
 def _tiled_apply(model, params, cfg, args):
-    import functools
-
     import jax
 
     from gd3d.stereoflow import (DEFAULT_CROP, DEFAULT_TILE_CONF_MODE,
@@ -223,19 +222,17 @@ def _tiled_apply(model, params, cfg, args):
     def apply_fn(t1, t2):
         return model.apply({"params": params}, t1, t2)
 
-    @functools.lru_cache(maxsize=8)
-    def jitted(hw):
-        def run(img1, img2):
-            return tiled_pred(apply_fn, img1, img2, crop=crop,
-                              overlap=args.tile_overlap, conf_mode=conf_mode)
-        return jax.jit(run)
+    # one jit; XLA's own shape-keyed cache retraces per input size
+    @jax.jit
+    def run(img1, img2):
+        return tiled_pred(apply_fn, img1, img2, crop=crop,
+                          overlap=args.tile_overlap, conf_mode=conf_mode)
 
     def predict(img1_np, img2_np):
         import jax.numpy as jnp
 
-        img1 = jnp.asarray(img1_np[None])
-        img2 = jnp.asarray(img2_np[None])
-        pred, _, c = jitted(img1.shape[1:3])(img1, img2)
+        pred, _, c = run(jnp.asarray(img1_np[None]),
+                         jnp.asarray(img2_np[None]))
         return np.asarray(pred[0]), np.asarray(c[0])
 
     return predict
@@ -247,8 +244,9 @@ def cmd_eval(args) -> None:
 
     model, cfg, params = _build(args)
     predict = _tiled_apply(model, params, cfg, args)
-    pairs = discover_pairs(args.root, args.layout, args.task)
-    ds = StereoFlowPairs(pairs, args.task)
+    pairs = discover_pairs(args.root, args.layout, args.task,
+                           split=args.split)
+    ds = StereoFlowPairs(pairs, args.task, root=args.root)
     agg = (StereoDatasetMetrics if args.task == "stereo"
            else FlowDatasetMetrics)()
     out = Path(args.output)
@@ -306,8 +304,12 @@ def cmd_predict(args) -> None:
     Path(outp).parent.mkdir(parents=True, exist_ok=True)
     if ext == ".npy":
         np.save(outp, pred)
-    elif ext == ".pfm":
+    elif ext == ".pfm" and args.task == "stereo":
         write_pfm(outp, pred[..., 0].astype(np.float32))
+    elif ext == ".pfm":
+        # flow PFMs are 3-channel with a zero third band (read_pfm_flow)
+        zero = np.zeros_like(pred[..., :1])
+        write_pfm(outp, np.concatenate([pred, zero], -1).astype(np.float32))
     elif ext == ".flo":
         write_flo(outp, pred)
     elif ext == ".png" and args.task == "stereo":

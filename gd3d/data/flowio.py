@@ -19,7 +19,7 @@ import os
 import re
 import struct
 import sys
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -602,15 +602,6 @@ class FlowAugmentor:
 # datasets: pair discovery for the reference layouts + a generic loader
 # ---------------------------------------------------------------------------
 
-_GT_READERS: Dict[str, Callable[[str], np.ndarray]] = {
-    ".flo": read_flo,
-    ".pfm": None,  # resolved per task below
-    ".npy": lambda p: np.load(p),
-    ".png": None,  # resolved per task below
-    ".exr": None,
-}
-
-
 def read_gt(path: str, task: str) -> np.ndarray:
     """Dispatch on extension + task; returns HxWxC float32 with +inf
     invalids (C=1 disparity, C=2 flow)."""
@@ -676,7 +667,8 @@ def discover_pairs(root: str, layout: str, task: str,
         for L in sorted(_glob.glob(j(root, sub, "image_2", "*_10.png"))):
             R = L.replace("image_2", "image_3")
             g = L.replace("image_2", "disp_occ_0")
-            pairs.append((L, R, g if os.path.isfile(g) else None))
+            if os.path.isfile(R):
+                pairs.append((L, R, g if os.path.isfile(g) else None))
     elif layout == "kitti15":
         sub = "training" if split == "train" else "testing"
         for L in sorted(_glob.glob(j(root, sub, "image_2", "*_10.png"))):
@@ -685,16 +677,19 @@ def discover_pairs(root: str, layout: str, task: str,
             if os.path.isfile(R):
                 pairs.append((L, R, g if os.path.isfile(g) else None))
     elif layout == "sintel":
-        for L in sorted(_glob.glob(
-                j(root, split + "ing", "clean", "*", "frame_*.png"))):
-            seq = os.path.dirname(L)
-            idx = int(os.path.basename(L)[len("frame_"):-len(".png")])
-            R = j(seq, f"frame_{idx + 1:04d}.png")
-            g = (seq.replace(os.sep + "clean" + os.sep,
-                             os.sep + "flow" + os.sep)
-                 + os.sep + f"frame_{idx:04d}.flo")
-            if os.path.isfile(R):
-                pairs.append((L, R, g if os.path.isfile(g) else None))
+        # both render passes, like the reference's SintelDataset
+        # (datasets_flow.py: 'clean' + 'final' subsets)
+        for render in ("clean", "final"):
+            for L in sorted(_glob.glob(
+                    j(root, split + "ing", render, "*", "frame_*.png"))):
+                seq = os.path.dirname(L)
+                idx = int(os.path.basename(L)[len("frame_"):-len(".png")])
+                R = j(seq, f"frame_{idx + 1:04d}.png")
+                g = (seq.replace(os.sep + render + os.sep,
+                                 os.sep + "flow" + os.sep)
+                     + os.sep + f"frame_{idx:04d}.flo")
+                if os.path.isfile(R):
+                    pairs.append((L, R, g if os.path.isfile(g) else None))
     elif layout == "eth3d":
         for d in sorted(_glob.glob(j(root, "two_view_*", "*"))):
             L, R = j(d, "im0.png"), j(d, "im1.png")
@@ -719,10 +714,11 @@ class StereoFlowPairs:
 
     def __init__(self, pairs: Sequence[Tuple[str, str, Optional[str]]],
                  task: str, crop_size: Optional[Tuple[int, int]] = None,
-                 seed: int = 0):
+                 seed: int = 0, root: Optional[str] = None):
         self.pairs = list(pairs)
         self.task = task
         self.crop_size = crop_size
+        self.root = root  # names become root-relative (unique across scenes)
         self.rng = np.random.RandomState(seed)
         if crop_size is None:
             self.augmentor = None
@@ -748,5 +744,12 @@ class StereoFlowPairs:
                "img2": img_to_array(np.asarray(img2, np.float32))}
         if gt is not None:
             out["gt"] = np.ascontiguousarray(gt, np.float32)
-        out["name"] = os.path.splitext(os.path.basename(Lp))[0]
+        if self.root:
+            # scene-qualified like the reference's pairname_to_str — bare
+            # stems collide across eth3d/middlebury scenes (every left
+            # image is im0.png)
+            rel = os.path.splitext(os.path.relpath(Lp, self.root))[0]
+            out["name"] = rel.replace(os.sep, "_")
+        else:
+            out["name"] = os.path.splitext(os.path.basename(Lp))[0]
         return out

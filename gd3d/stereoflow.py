@@ -398,7 +398,6 @@ def tiled_pred(
     overlap: float = 0.5,
     conf_mode: str = "conf_expsigmoid_10_5",
     criterion: Optional[Criterion] = None,
-    num_channels: Optional[int] = None,
 ):
     """engine.py:179-264 as ONE jittable program.
 

@@ -9,6 +9,7 @@ the ACTUAL vendored modules `dust3r/croco/stereoflow/criterion.py` and
 `dust3r/croco/stereoflow/engine.py` driven on identical tensors.
 """
 import importlib.util
+import os
 import sys
 import types
 
@@ -66,6 +67,14 @@ def test_pfm_roundtrip(tmp_path):
     np.testing.assert_allclose(back, img, rtol=1e-6)
     assert scale == 1.0
 
+    # flow convention: 3-channel with a zero third band (datasets_flow.py)
+    from gd3d.data.flowio import read_pfm_flow
+
+    flow = np.random.RandomState(3).randn(5, 4, 2).astype(np.float32)
+    p3 = str(tmp_path / "f.pfm")
+    write_pfm(p3, np.concatenate([flow, np.zeros_like(flow[..., :1])], -1))
+    np.testing.assert_allclose(read_pfm_flow(p3), flow, rtol=1e-6)
+
 
 def _write_png(path, arr_u8):
     from PIL import Image
@@ -120,6 +129,71 @@ def test_discover_pairs_kitti15(tmp_path):
     flow = discover_pairs(str(tmp_path), "kitti15", "flow")
     assert len(stereo) == 1 and stereo[0][2].endswith("disp_occ_0/000000_10.png")
     assert len(flow) == 1 and flow[0][1].endswith("000000_11.png")
+
+
+def test_discover_pairs_kitti15_stereo_requires_right_image(tmp_path):
+    """A frame with no image_3 sibling must be skipped, not returned as a
+    pair pointing at a nonexistent file."""
+    from gd3d.data.flowio import discover_pairs
+
+    d = tmp_path / "training"
+    for sub in ("image_2", "image_3", "disp_occ_0"):
+        (d / sub).mkdir(parents=True)
+    img = np.zeros((8, 8, 3), np.uint8)
+    _write_png(d / "image_2" / "000000_10.png", img)
+    _write_png(d / "image_2" / "000001_10.png", img)
+    _write_png(d / "image_3" / "000000_10.png", img)  # only frame 0 has R
+    pairs = discover_pairs(str(tmp_path), "kitti15", "stereo")
+    assert len(pairs) == 1 and pairs[0][0].endswith("000000_10.png")
+
+
+def test_discover_pairs_sintel_both_passes(tmp_path):
+    """The sintel layout covers BOTH render passes (clean + final), like
+    the reference's SintelDataset subsets."""
+    from gd3d.data.flowio import discover_pairs, write_flo
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    for render in ("clean", "final"):
+        seq = tmp_path / "training" / render / "alley_1"
+        seq.mkdir(parents=True)
+        _write_png(seq / "frame_0001.png", img)
+        _write_png(seq / "frame_0002.png", img)
+    fl = tmp_path / "training" / "flow" / "alley_1"
+    fl.mkdir(parents=True)
+    write_flo(str(fl / "frame_0001.flo"), np.zeros((8, 8, 2), np.float32))
+    pairs = discover_pairs(str(tmp_path), "sintel", "flow")
+    assert len(pairs) == 2
+    renders = {p[0].split(os.sep)[-3] for p in pairs}
+    assert renders == {"clean", "final"}
+    assert all(g is not None for _, _, g in pairs)
+
+
+def test_pair_names_unique_across_scenes(tmp_path):
+    """eth3d/middlebury scenes all name their left image im0.png; with
+    root given, item names are scene-qualified so eval outputs don't
+    collide."""
+    from gd3d.data.flowio import StereoFlowPairs, discover_pairs, write_pfm
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    for scene in ("sceneA", "sceneB"):
+        d = tmp_path / scene
+        d.mkdir()
+        _write_png(d / "im0.png", img)
+        _write_png(d / "im1.png", img)
+        write_pfm(str(d / "disp0.pfm"), np.ones((8, 8), np.float32))
+    pairs = discover_pairs(str(tmp_path), "middlebury", "stereo")
+    ds = StereoFlowPairs(pairs, "stereo", root=str(tmp_path))
+    names = {ds[i]["name"] for i in range(len(ds))}
+    assert names == {"sceneA_im0", "sceneB_im0"}
+
+
+def test_no_conf_rejects_explicit_conf_criterion():
+    from gd3d.cli.stereoflow import main
+
+    with pytest.raises(SystemExit):
+        main(["train", "--task", "stereo", "--tiny", "--no-conf",
+              "--criterion", "LaplacianLossBounded2()",
+              "--root", "/nonexistent", "--output", "/tmp/x"])
 
 
 def test_augmentors_shapes():
