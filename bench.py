@@ -80,10 +80,14 @@ def _timed_reps(dispatch, state, n_reps, warmup_s, label):
         float(sync)  # hard sync (tunnel ignores block_until_ready)
         reps.append(time.perf_counter() - t0)
     med = float(np.median(reps))
-    contended = (warmup_s > 3.0 * med) or (max(reps) > 2.0 * min(reps))
+    # warmup legitimately includes the host->device input transfer
+    # (~350 MB for the K=32 flagship batches, measured 3-4x one steady
+    # dispatch through the tunnel), so only flag the truly pathological
+    # ratio (the r4 corruption was 22x)
+    contended = (warmup_s > 5.0 * med) or (max(reps) > 2.0 * min(reps))
     _log(f"{label}: reps_s={[round(r, 3) for r in reps]} median={med:.3f} "
          f"min={min(reps):.3f} max={max(reps):.3f} warmup={warmup_s:.1f}s"
-         + (" CONTENTION-SUSPECT (warmup>>steady or max>2x min)"
+         + (" CONTENTION-SUSPECT (warmup>5x steady or max>2x min)"
             if contended else ""))
     return med, reps, contended, state
 

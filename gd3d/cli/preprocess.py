@@ -365,7 +365,8 @@ def parse_args(argv=None):
                     "consumes")
     p.add_argument("--dataset", choices=("co3d", "wildrgbd", "scannetpp",
                                          "arkitscenes", "blendedmvs",
-                                         "staticthings3d", "megadepth"),
+                                         "staticthings3d", "megadepth",
+                                         "waymo"),
                    default="co3d")
     p.add_argument("--co3d-dir", default=None,
                    help="raw dataset root (alias of --raw-dir, kept for "
@@ -391,7 +392,7 @@ def parse_args(argv=None):
                    help="scannetpp/arkitscenes: precomputed-pairs dir "
                         "(scene_list.json + per-scene selected_pairs.npz; "
                         "per Training/Test split for arkitscenes). For "
-                        "blendedmvs/staticthings3d/megadepth: the "
+                        "blendedmvs/staticthings3d/megadepth/waymo: the "
                         "precomputed pairs FILE itself")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
@@ -414,6 +415,12 @@ def main(argv=None) -> None:
     if args.dataset == "arkitscenes":
         from gd3d.data.preprocess_arkitscenes import run_arkitscenes
         run_arkitscenes(args)
+        return
+    if args.dataset == "waymo":
+        from gd3d.data.preprocess_waymo import run_waymo
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        run_waymo(args)
         return
     if args.dataset in ("blendedmvs", "staticthings3d", "megadepth"):
         from gd3d.data import preprocess_mvs
