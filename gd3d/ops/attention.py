@@ -36,12 +36,64 @@ def _pick_block(n: int) -> int:
     return _BLOCK_PREF if n % _BLOCK_PREF == 0 else _BLOCK
 
 
+_DI_PATCHED = False
+
+
+def _patch_flash_dq_di_broadcast():
+    """Fix an HBM-traffic bug in the stock pallas flash backward.
+
+    ``_flash_attention_bwd_dq`` broadcasts the per-row ``di`` statistics to
+    ``block_k_major`` lanes before the pallas_call, but its own BlockSpec
+    only ever reads the first ``MIN_BLOCK_SIZE`` (128) lanes — the kernel
+    re-tiles in-register (`jnp.tile(di, ...)`). At the student's shapes
+    (B=2, H=12, N=4608, 768-token blocks) the wasted lanes materialize a
+    340 MB f32 array per layer: the device trace shows the broadcast alone
+    at ~4 ms/step plus the kernel reading 6x the needed di bytes. Patch:
+    recompile the function with the broadcast at MIN_BLOCK_SIZE, which is
+    bit-identical math (the extra lanes were never read). Disable with
+    GD3D_FLASH_DI_PATCH=0; a changed upstream pattern leaves the stock
+    function in place (loud stderr note), never a wrong one.
+    """
+    global _DI_PATCHED
+    if _DI_PATCHED:
+        return
+    _DI_PATCHED = True
+    import inspect
+    import os
+    import sys
+    import textwrap
+
+    if os.environ.get("GD3D_FLASH_DI_PATCH", "1") == "0":
+        return
+    import jax.experimental.pallas.ops.tpu.flash_attention as fa
+
+    src = textwrap.dedent(inspect.getsource(fa._flash_attention_bwd_dq))
+    needle = "di = jnp.broadcast_to(di[..., None], (*di.shape, block_k_major))"
+    if needle not in src or getattr(
+            fa._flash_attention_bwd_dq, "_gd3d_di_patched", False):
+        if needle not in src:
+            print("gd3d: flash bwd_dq di-broadcast pattern not found; "
+                  "leaving the stock kernel wrapper unpatched",
+                  file=sys.stderr)
+        return
+    src = src.replace(
+        needle,
+        "di = jnp.broadcast_to(di[..., None], (*di.shape, MIN_BLOCK_SIZE))")
+    ns = dict(fa.__dict__)
+    exec(compile(src, fa.__file__ + "#gd3d-di-patch", "exec"), ns)
+    patched = ns["_flash_attention_bwd_dq"]
+    patched._gd3d_di_patched = True
+    fa._flash_attention_bwd_dq = patched
+
+
 def _flash_sdpa(q, k, v, scale):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,
         flash_attention,
     )
+
+    _patch_flash_dq_di_broadcast()
 
     B, N, H, D = q.shape
     M = k.shape[1]

@@ -67,6 +67,10 @@ def main():
 
     rng = np.random.RandomState(0)
 
+    from gd3d.utils.flops import V5E_BF16_PEAK_FLOPS, count_fn_flops
+
+    rows = []  # (label, ms, gflop, mfu_pct) — roofline table
+
     def timed(label, fn, xs, *consts):
         """fn(x_slice, *consts) scanned over the leading R axis of xs."""
 
@@ -89,7 +93,18 @@ def main():
             out = g(xs, *consts)
         np.asarray(out).reshape(-1)[0]
         dt = (time.perf_counter() - t0) / n / R
-        print(f"{label}: {dt * 1e3:.1f} ms", flush=True)
+        # analytic matmul/conv FLOPs of ONE call -> per-segment MFU
+        try:
+            x0 = jax.tree_util.tree_map(lambda a: a[0], xs)
+            flops = count_fn_flops(fn, x0, *consts, while_trips=3)
+        except Exception as e:
+            print(f"  (flop count failed for {label.strip()}: {e!r})",
+                  file=sys.stderr)
+            flops = float("nan")
+        mfu_pct = flops / dt / V5E_BF16_PEAK_FLOPS * 100
+        print(f"{label}: {dt * 1e3:6.1f} ms  {flops / 1e9:7.1f} GFLOP  "
+              f"MFU {mfu_pct:5.1f}%", flush=True)
+        rows.append((label.strip(), dt * 1e3, flops / 1e9, mfu_pct))
         return dt
 
     # ---- teacher ----
@@ -332,6 +347,53 @@ def main():
     dt = (time.perf_counter() - t0) / n / R
     print(f"REAL train step (scan over {R} batches) : {dt * 1e3:.1f} ms",
           flush=True)
+    real_ms = dt * 1e3
+
+    # ---- MXU reference peaks: the ATTAINABLE ceilings the roofline
+    # compares segments against (measured in the same run, same chip) ----
+    mm = {"A": jnp.asarray(rng.randn(R, 4096, 4096), jnp.bfloat16)}
+    Bmat = jnp.asarray(rng.randn(4096, 4096), jnp.bfloat16)
+    # max-consumption: a sum of scanned dots collapses by distributivity
+    # (probe_int8_matmul trap); timed()'s leaf-sum consumption is fine
+    # because each iteration's A differs
+    timed("PEAK bf16 4096^3 dense matmul          ",
+          lambda x, B: jnp.max(jnp.abs(x["A"] @ B)), mm, Bmat)
+    mmf = {"A": jnp.asarray(rng.randn(R, 4096, 4096), jnp.float32)}
+    timed("PEAK fp32-input default-prec matmul    ",
+          lambda x, B: jnp.max(jnp.abs(x["A"] @ B)), mmf,
+          jnp.asarray(rng.randn(4096, 4096), jnp.float32))
+    # the student's exact attention shape (4160 tokens, 12 heads, D=64,
+    # B=2 views), fwd+bwd — the binding kernel of the 61% student segment
+    from gd3d.ops.attention import scaled_dot_attention
+
+    N_att = 4160
+    ax2 = {"q": jnp.asarray(
+        rng.randn(R, 2, N_att, 12, 64), jnp.bfloat16)}
+    kv = (jnp.asarray(rng.randn(2, N_att, 12, 64), jnp.bfloat16),
+          jnp.asarray(rng.randn(2, N_att, 12, 64), jnp.bfloat16))
+
+    def attn_fwd_bwd(x, k, v):
+        def f(q):
+            o = scaled_dot_attention(q, k, v)
+            return (o.astype(jnp.float32) ** 2).mean()
+
+        return jax.grad(f)(x["q"])
+
+    timed("PEAK flash attn fwd+bwd (2,4160,12,64) ", attn_fwd_bwd, ax2, *kv)
+    # the teacher encoder's attention shape (672 tokens, 16 heads, D=64,
+    # B=2 images), forward only (frozen teacher)
+    ax3 = {"q": jnp.asarray(rng.randn(R, 2, 672, 16, 64), jnp.float32)}
+    kv3 = (jnp.asarray(rng.randn(2, 672, 16, 64), jnp.float32),
+           jnp.asarray(rng.randn(2, 672, 16, 64), jnp.float32))
+    timed("PEAK attn fwd-only teacher (2,672,16,64)",
+          lambda x, k, v: scaled_dot_attention(x["q"], k, v), ax3, *kv3)
+
+    print("\n== Roofline table (per segment; MFU = analytic matmul/conv "
+          "FLOPs / time / 197 TFLOPS v5e bf16 peak) ==")
+    print(f"{'segment':<42} {'ms':>7} {'GFLOP':>9} {'MFU%':>6}")
+    for label, ms, gf, m in rows:
+        print(f"{label:<42} {ms:7.1f} {gf:9.1f} {m:6.1f}")
+    print(f"{'REAL train step':<42} {real_ms:7.1f}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,55 @@
+"""The flash bwd_dq di-broadcast patch (gd3d/ops/attention.py).
+
+The stock pallas flash backward broadcasts the per-row di statistics to
+block_k_major lanes although its BlockSpec only reads the first 128 — a
+340 MB/layer HBM artifact at the student's shapes, measured ~3 ms/step
+on the flagship bench (device trace, round 5). The patch recompiles the
+wrapper with the broadcast at MIN_BLOCK_SIZE; math is bit-identical
+(verified on-chip: dq/dk/dv vs the einsum path to 1e-8). CPU CI can only
+assert the patch APPLIES — if a jax upgrade changes the source pattern,
+this test fails instead of the patch silently no-opping.
+"""
+import numpy as np
+
+
+def test_di_patch_applies_and_is_idempotent():
+    import jax.experimental.pallas.ops.tpu.flash_attention as fa
+
+    import gd3d.ops.attention as att
+
+    att._DI_PATCHED = False  # force re-run in case another test ran first
+    att._patch_flash_dq_di_broadcast()
+    assert getattr(fa._flash_attention_bwd_dq, "_gd3d_di_patched", False), (
+        "di-broadcast pattern not found in this jax version — the patch "
+        "no-opped; re-derive it against the new flash_attention source "
+        "(or delete it if upstream fixed the broadcast)"
+    )
+    patched = fa._flash_attention_bwd_dq
+    att._DI_PATCHED = False
+    att._patch_flash_dq_di_broadcast()  # second run must not re-wrap
+    assert fa._flash_attention_bwd_dq is patched
+
+
+def test_flash_grads_match_einsum_path():
+    """Runs the full kernel only on TPU; on the CPU test platform both
+    sides take the einsum path, so this degenerates to a smoke check."""
+    import jax
+    import jax.numpy as jnp
+
+    from gd3d.ops.attention import scaled_dot_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 200, 2, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 200, 2, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 200, 2, 64), jnp.float32)
+
+    def loss(force):
+        def f(q, k, v):
+            return (scaled_dot_attention(q, k, v,
+                                         force_xla=force) ** 2).mean()
+
+        return jax.jit(jax.grad(f, argnums=(0, 1, 2)))(q, k, v)
+
+    for a, b in zip(loss(False), loss(True)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
