@@ -366,8 +366,13 @@ def parse_args(argv=None):
     p.add_argument("--dataset", choices=("co3d", "wildrgbd", "scannetpp",
                                          "arkitscenes", "blendedmvs",
                                          "staticthings3d", "megadepth",
-                                         "waymo"),
+                                         "waymo", "habitat"),
                    default="co3d")
+    p.add_argument("--habitat-sim", action="store_true",
+                   help="habitat: drive real habitat-sim instead of the "
+                        "synthetic-equivalent generator (requires the "
+                        "upstream habitat stack; errors with the recipe "
+                        "otherwise)")
     p.add_argument("--co3d-dir", default=None,
                    help="raw dataset root (alias of --raw-dir, kept for "
                         "the original co3d-only interface)")
@@ -397,13 +402,20 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
     args.raw_dir = args.raw_dir or args.co3d_dir
-    if args.raw_dir is None:
+    if args.raw_dir is None and args.dataset != "habitat":
+        # habitat's synthetic-equivalent generator has no raw input
         p.error("--raw-dir (or --co3d-dir) is required")
     return args
 
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+    if args.dataset == "habitat":
+        from gd3d.data.preprocess_habitat import run_habitat
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        run_habitat(args)
+        return
     assert osp.abspath(args.raw_dir) != osp.abspath(args.output_dir)
     if args.dataset == "wildrgbd":
         run_wildrgbd(args)

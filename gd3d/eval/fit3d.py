@@ -4,8 +4,10 @@ Parity target: src/evaluate_timm_fit3d.py — evaluates a FiT3D-finetuned CLIP
 ViT-B/16 checkpoint (upstream: HF `yuanwenyue/FiT3D`, fit3d.pth) and the
 vanilla backbone side-by-side under the SAME three evaluations (PCK,
 TAP-Vid tracking, OnePose pose). The reference downloads the checkpoint
-from HF at runtime (:45-60); this offline rebuild takes a local .pth path
-and converts it with the standard timm->flax converter. Neither model has
+from HF at runtime (`torch.hub.load_state_dict_from_url`, :634,:673); this
+rebuild accepts either a local .pth path or an http(s):// URL (same
+torch.hub cached-download path) and converts it with the standard
+timm->flax converter. Neither model has
 refine_conv / adapters — the harness runs with refine=False.
 """
 from __future__ import annotations
@@ -21,17 +23,41 @@ from gd3d.teachers.convert import convert_timm_vit, graft_pretrained_vit
 
 VANILLA_CFG = StudentConfig(lora_start_block=12, use_adapters=False)
 
+# the reference's default --ckpt (evaluate_timm_fit3d.py:634)
+FIT3D_CKPT_URL = (
+    "https://huggingface.co/yuanwenyue/FiT3D/resolve/main/"
+    "clip_base_finetuned.pth")
+
+
+def load_fit3d_state(ckpt: str) -> dict:
+    """Load a FiT3D torch state_dict from a local path or an http(s) URL.
+
+    URL loads go through `torch.hub.load_state_dict_from_url` — the
+    reference's exact download path (evaluate_timm_fit3d.py:673), which
+    caches under $TORCH_HOME/hub/checkpoints."""
+    if ckpt.startswith(("http://", "https://")):
+        import torch
+
+        state = torch.hub.load_state_dict_from_url(ckpt, map_location="cpu")
+        if isinstance(state, dict) and "model" in state:
+            state = state["model"]
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        return {k: v.numpy() for k, v in state.items()
+                if hasattr(v, "numpy")}
+    from gd3d.cli.train import load_torch_state
+
+    return load_torch_state(ckpt)
+
 
 def load_fit3d_student(ckpt_path: Optional[str], seed: int = 42,
                        cfg: StudentConfig = VANILLA_CFG):
     """Build the (vanilla-architecture) student and optionally load FiT3D
-    finetuned weights from a local torch state_dict."""
+    finetuned weights from a local torch state_dict or an http(s) URL."""
     student = Student(cfg)
     params = student.init(jax.random.key(seed), img_size=64)
     if ckpt_path:
-        from gd3d.cli.train import load_torch_state
-
-        state = load_torch_state(ckpt_path)
+        state = load_fit3d_state(ckpt_path)
         params["vit"] = graft_pretrained_vit(
             params["vit"], convert_timm_vit(state, cfg)
         )
@@ -101,7 +127,10 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--fit3d-ckpt", required=True)
+    p.add_argument(
+        "--fit3d-ckpt", default=FIT3D_CKPT_URL,
+        help="local .pth or http(s) URL (default: the upstream HF ckpt, "
+             "matching the reference's --ckpt default)")
     p.add_argument("--vanilla-ckpt", default=None)
     p.add_argument("--data-root", default="data")
     p.add_argument("--transfer", action="store_true")

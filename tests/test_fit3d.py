@@ -204,3 +204,32 @@ def test_compare_all_three_evals(tmp_path):
         "threshold_1", "threshold_3", "threshold_5"}
     for df in results.values():
         assert np.all(np.isfinite(df.to_numpy(dtype=np.float64)))
+
+
+def test_load_fit3d_student_url_path(monkeypatch):
+    """An http(s) ckpt must route through torch.hub.load_state_dict_from_url
+    (the reference's download path, evaluate_timm_fit3d.py:673) and graft
+    identically to the local-.pth path. Network is mocked — this asserts
+    the code path, not connectivity."""
+    st = _timm_state(SMALL)
+    calls = {}
+
+    def fake_load(url, map_location=None):
+        calls["url"] = url
+        calls["map_location"] = map_location
+        return st
+
+    monkeypatch.setattr(torch.hub, "load_state_dict_from_url", fake_load)
+    _, params = load_fit3d_student(
+        "https://example.com/clip_base_finetuned.pth", cfg=SMALL)
+    assert calls["url"].startswith("https://")
+    assert calls["map_location"] == "cpu"
+    want_kernel = st["patch_embed.proj.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(
+        np.asarray(params["vit"]["patch_embed"]["kernel"]), want_kernel)
+
+
+def test_fit3d_default_ckpt_is_the_reference_url():
+    from gd3d.eval.fit3d import FIT3D_CKPT_URL
+
+    assert FIT3D_CKPT_URL.startswith("https://huggingface.co/yuanwenyue")
