@@ -84,11 +84,28 @@ def _reference_rows(teacher_p, student_cost, row_mask, eps):
     return jnp.sum(pc * jnp.log(pc / qc), axis=-1)
 
 
+# batch-parallel partitioning so the DP multichip program shards the kernel
+# per-chip instead of failing Mosaic auto-partitioning (the batch dim is the
+# only sharded dim; rows/cols are per-pair token grids)
+from gd3d.parallel.pallas_partition import batch_partition
+
+_fwd_impl_cp = batch_partition(
+    _fwd_impl, rank_by_arg=(1, 1, 1), out_ranks=(1,),
+    rule="b n m, b n m, b n -> b n", need_repl=("n", "m"), n_static=2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _masked_softmax_kl_rows_f32(teacher_p, student_cost, row_mask,
                                 eps: float = 1e-8, interpret: bool = False):
+    import os
+
+    if os.environ.get("GD3D_FORCE_XLA_KERNELS") == "1":
+        # deviceless AOT compiles can't emit custom_partitioning python
+        # callbacks — dryrun_multichip_aot sets this to validate the full
+        # program with the XLA path (same math, test_cost_kl_kernel.py)
+        return _reference_rows(teacher_p, student_cost, row_mask, eps)
     if interpret or jax.default_backend() == "tpu":
-        return _fwd_impl(teacher_p, student_cost, row_mask, eps, interpret)
+        return _fwd_impl_cp(teacher_p, student_cost, row_mask, eps, interpret)
     return _reference_rows(teacher_p, student_cost, row_mask, eps)
 
 

@@ -89,38 +89,112 @@ def _patch_flash_dq_di_broadcast():
 import functools
 
 
+# ---- multichip partitioning for the flash kernels --------------------------
+#
+# Flash attention is embarrassingly parallel over batch and heads — exactly
+# the two dims the flagship shards (batch over `data`, heads over `model`
+# via the Megatron qkv split). Each kernel entry below is wrapped in
+# custom_partitioning (see gd3d/parallel/pallas_partition.py) so the DP x TP
+# multichip program re-emits the same pallas call per shard instead of
+# failing GSPMD auto-partitioning.
+from gd3d.parallel.pallas_partition import batch_partition
+
+
+def _make_flash_cp(impl, rank_by_arg, out_ranks, rule, need_repl):
+    return batch_partition(impl, rank_by_arg, out_ranks, rule, need_repl,
+                           n_static=3)
+
+
+def _seg(qs, kvs):
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+    return SegmentIds(q=qs, kv=kvs)
+
+
+def _flash_call(save_residuals, q, k, v, segment_ids, scale, bq, bk):
+    import jax.experimental.pallas.ops.tpu.flash_attention as fa
+
+    return fa._flash_attention_impl(
+        q, k, v, None, segment_ids, save_residuals, False, scale,
+        1, bq, bk, bk, False)
+
+
+def _bwd_call(q, k, v, segment_ids, l, m, do, di, scale, bq, bk):
+    from gd3d.kernels.flash_bwd_fused import flash_attention_bwd_fused
+
+    return flash_attention_bwd_fused(
+        q, k, v, segment_ids, l, m, do, di,
+        block_q_major=bq, block_q=bq, block_k_major=bk, block_k=bk,
+        sm_scale=scale)
+
+
+_QKV = "b h n d, b h m d, b h m e"
+_RES = "b h n e, b h n, b h n"
+_GRADS = "b h n d, b h m d, b h m e"
+_LMDODI = "b h n, b h n, b h n e, b h n"
+# need_replication factors must be listed in first-appearance order of the
+# rule (Shardy requires the special-factor indices sorted)
+_NR = ("n", "d", "m", "e")
+
+_FWD_NOSEG = _make_flash_cp(
+    lambda q, k, v, scale, bq, bk:
+        _flash_call(False, q, k, v, None, scale, bq, bk),
+    (2, 2, 2), (2,), f"{_QKV} -> b h n e", _NR)
+_FWD_SEG = _make_flash_cp(
+    lambda q, k, v, qs, kvs, scale, bq, bk:
+        _flash_call(False, q, k, v, _seg(qs, kvs), scale, bq, bk),
+    (2, 2, 2, 1, 1), (2,), f"{_QKV}, b n, b m -> b h n e", _NR)
+_FWDRES_NOSEG = _make_flash_cp(
+    lambda q, k, v, scale, bq, bk:
+        _flash_call(True, q, k, v, None, scale, bq, bk),
+    (2, 2, 2), (2, 2, 2), f"{_QKV} -> {_RES}", _NR)
+_FWDRES_SEG = _make_flash_cp(
+    lambda q, k, v, qs, kvs, scale, bq, bk:
+        _flash_call(True, q, k, v, _seg(qs, kvs), scale, bq, bk),
+    (2, 2, 2, 1, 1), (2, 2, 2), f"{_QKV}, b n, b m -> {_RES}", _NR)
+_BWD_NOSEG = _make_flash_cp(
+    lambda q, k, v, l, m, do, di, scale, bq, bk:
+        _bwd_call(q, k, v, None, l, m, do, di, scale, bq, bk),
+    (2, 2, 2, 2, 2, 2, 2), (2, 2, 2),
+    f"{_QKV}, {_LMDODI} -> {_GRADS}", _NR)
+_BWD_SEG = _make_flash_cp(
+    lambda q, k, v, qs, kvs, l, m, do, di, scale, bq, bk:
+        _bwd_call(q, k, v, _seg(qs, kvs), l, m, do, di, scale, bq, bk),
+    (2, 2, 2, 1, 1, 2, 2, 2, 2), (2, 2, 2),
+    f"{_QKV}, b n, b m, {_LMDODI} -> {_GRADS}", _NR)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _fused_bwd_flash(q, k, v, segment_ids, scale, bq, bk):
     """Flash attention with the gd3d ONE-PASS backward (dq+dk+dv fused;
     gd3d/kernels/flash_bwd_fused.py). Forward is the stock pallas kernel;
     the backward drops 2 of the stock split-backward's 7 tile-matmuls
     (the dq pass's P/dP recompute) — measured on the flagship step where
-    the split backward was 21% of total time. q/k/v are (B, H, N, D)."""
-    import jax.experimental.pallas.ops.tpu.flash_attention as fa
-
-    return fa._flash_attention_impl(
-        q, k, v, None, segment_ids, False, False, scale,
-        1, bq, bk, bk, False)
+    the split backward was 21% of total time. q/k/v are (B, H, N, D).
+    Both directions are custom_partitioning-wrapped (batch/head-parallel)
+    so the DP x TP multichip program partitions them per-shard."""
+    if segment_ids is None:
+        return _FWD_NOSEG(q, k, v, scale, bq, bk)
+    return _FWD_SEG(q, k, v, segment_ids.q, segment_ids.kv, scale, bq, bk)
 
 
 def _fused_bwd_flash_fwd(q, k, v, segment_ids, scale, bq, bk):
-    import jax.experimental.pallas.ops.tpu.flash_attention as fa
-
-    o, l, m = fa._flash_attention_impl(
-        q, k, v, None, segment_ids, True, False, scale,
-        1, bq, bk, bk, False)
+    if segment_ids is None:
+        o, l, m = _FWDRES_NOSEG(q, k, v, scale, bq, bk)
+    else:
+        o, l, m = _FWDRES_SEG(q, k, v, segment_ids.q, segment_ids.kv,
+                              scale, bq, bk)
     return o, (q, k, v, segment_ids, o, l, m)
 
 
 def _fused_bwd_flash_bwd(scale, bq, bk, residuals, do):
-    from gd3d.kernels.flash_bwd_fused import flash_attention_bwd_fused
-
     q, k, v, segment_ids, o, l, m = residuals
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    dq, dk, dv = flash_attention_bwd_fused(
-        q, k, v, segment_ids, l, m, do, di,
-        block_q_major=bq, block_q=bq, block_k_major=bk, block_k=bk,
-        sm_scale=scale)
+    if segment_ids is None:
+        dq, dk, dv = _BWD_NOSEG(q, k, v, l, m, do, di, scale, bq, bk)
+    else:
+        dq, dk, dv = _BWD_SEG(q, k, v, segment_ids.q, segment_ids.kv,
+                              l, m, do, di, scale, bq, bk)
     return dq, dk, dv, None
 
 
@@ -254,11 +328,13 @@ def scaled_dot_attention(
     GD3D_FLASH_PACK=1 routes head_dim-64 inputs with an even head count to
     the head-packed variant (2 heads per 128-lane MXU tile) — measured a
     wash on v5e, see _flash_sdpa_head_packed."""
+    import os
+
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if force_xla or jax.default_backend() != "tpu":
+    if (force_xla or jax.default_backend() != "tpu"
+            or os.environ.get("GD3D_FORCE_XLA_KERNELS") == "1"):
         return _einsum_sdpa(q, k, v, scale)
-    import os
 
     if (
         q.shape[-1] == _PACK_HEAD_DIM

@@ -50,8 +50,11 @@ def vit_tp_rules(path: Tuple[str, ...], leaf) -> P:
     return P()
 
 
-def apply_tp_sharding(params, mesh: Mesh):
-    """device_put a param tree with TP rules over `mesh` (replicate the rest).
+def tp_sharding_tree(params, mesh: Mesh):
+    """NamedSharding tree for a param tree under the TP rules (replicated
+    elsewhere). Works on concrete arrays OR ShapeDtypeStructs — the
+    deviceless AOT path (dryrun_multichip_aot) builds its in_shardings
+    from eval_shape trees through this.
 
     Leaves whose to-be-sharded dim is not divisible by the model-axis size
     fall back to replicated — tiny test configs and odd head dims stay
@@ -60,15 +63,22 @@ def apply_tp_sharding(params, mesh: Mesh):
     n_model = mesh.shape[MODEL_AXIS]
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
-    leaves = []
+    shardings = []
     for path, leaf in flat:
         if leaf is None:
-            leaves.append(None)
+            shardings.append(None)
             continue
         spec = vit_tp_rules(path, leaf)
         for dim, s in enumerate(spec):
             if s == MODEL_AXIS and leaf.shape[dim] % n_model != 0:
                 spec = P()
                 break
-        leaves.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+        shardings.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def apply_tp_sharding(params, mesh: Mesh):
+    """device_put a param tree with TP rules over `mesh` (replicate the
+    rest); see tp_sharding_tree for the divisibility fallback."""
+    return jax.tree_util.tree_map(
+        jax.device_put, params, tp_sharding_tree(params, mesh))

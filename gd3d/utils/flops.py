@@ -73,7 +73,10 @@ def count_jaxpr_flops(jaxpr, while_trips: int = 1) -> float:
             total += max(mult, 1) * count_jaxpr_flops(
                 eqn.params["jaxpr"], while_trips)
         else:
-            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+            # "call" = custom_partitioning's inner ClosedJaxpr (the
+            # multichip pallas wrappers) — without it the attention
+            # fwd/bwd FLOPs vanish from the count
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr", "call"):
                 sub = eqn.params.get(key)
                 if sub is not None:
                     total += count_jaxpr_flops(sub, while_trips)

@@ -80,3 +80,26 @@ def test_kernel_gradient_matches_autodiff():
     g1 = np.asarray(jax.grad(fused)(cost))
     g2 = np.asarray(jax.grad(unfused)(cost))
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_kernel_partitions_over_cpu_mesh():
+    """The custom_partitioning wrapper (gd3d/parallel/pallas_partition.py)
+    must execute the kernel per-shard on a live 4x2 device mesh with the
+    batch dim sharded, matching the single-device result. The flagship
+    DP x TP program hits the same wrapper on TPU — Mosaic kernels cannot be
+    auto-partitioned by GSPMD/Shardy (found by dryrun_multichip_aot)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gd3d.core.mesh import DATA_AXIS, make_mesh
+
+    teacher, cost, mask = _data(B=8, N=40, M=40, seed=2)
+    t_norm = teacher / jnp.maximum(teacher.sum(-1, keepdims=True), 1e-8)
+    want = np.asarray(masked_softmax_kl_rows(t_norm, cost, mask, 1e-8, True))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    f = jax.jit(lambda t, c, m: masked_softmax_kl_rows(t, c, m, 1e-8, True),
+                in_shardings=(dp, dp, dp))
+    got = np.asarray(f(jax.device_put(t_norm, dp), jax.device_put(cost, dp),
+                       jax.device_put(mask, dp)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
