@@ -28,12 +28,25 @@ _BLOCK = 512  # measured on v5e: 512-blocks run ~3.8x faster than defaults
 # 768-token blocks measure faster still whenever the padded length divides:
 # -5% at the student's (B=2, N=4608) fwd+bwd and -22% at B=4, where the
 # 512-block backward tilings degrade (scripts/probe_attention.py). Padding
-# granularity stays 512 (768 would waste 11% more tokens at N=4161).
+# targets the smaller of the next 512- or 768-multiple (_pad_target).
 _BLOCK_PREF = 768
 
 
 def _pick_block(n: int) -> int:
     return _BLOCK_PREF if n % _BLOCK_PREF == 0 else _BLOCK
+
+
+def _pad_target(n: int) -> int:
+    """Smallest padded length that admits a legal block tiling.
+
+    Padding granularity used to be 512 only, which inflates the teacher's
+    672-token sequences (21x32 grid) to 1024 — 52% wasted attention FLOPs
+    across all 24 encoder + 12 decoder layers. A 768 pad is a legal
+    768-block tiling and strictly less work; pick whichever multiple of
+    512 or 768 pads less (ties -> 768-blocks, measured faster)."""
+    to512 = -(-n // _BLOCK) * _BLOCK
+    to768 = -(-n // _BLOCK_PREF) * _BLOCK_PREF
+    return min(to512, to768)
 
 
 _DI_PATCHED = False
@@ -212,8 +225,8 @@ def _flash_sdpa(q, k, v, scale):
 
     B, N, H, D = q.shape
     M = k.shape[1]
-    pad_n = (-N) % _BLOCK
-    pad_m = (-M) % _BLOCK
+    pad_n = _pad_target(N) - N
+    pad_m = _pad_target(M) - M
 
     qt = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, N, D)
     kt = jnp.transpose(k, (0, 2, 1, 3))
