@@ -153,6 +153,48 @@ def analyze_trace(out_dir: str, k: int) -> None:
         print(f"{t / k:8.2f} {t / total * 100:5.1f} {gbps:6.0f} "
               f"{cnt // k:6d}  [{cat[:14]}] {name[:80]}")
 
+    # ---- roofline segments: group self-time by the model stage the op
+    # belongs to, via the op_name scope metadata XLA records per HLO op
+    # (jit(train_step)/jvp(Mast3r)/encoder/..., transpose(jvp(...))/... )
+    import re
+
+    segs = [
+        ("teacher-encoder", r"Mast3r\)/encoder|enc_blocks"),
+        ("teacher-decoder", r"Mast3r\)/dec|dec_pairs|decoder"),
+        ("teacher-dpt+desc", r"Mast3r\)/head|head1|head2|dpt"),
+        ("student-vit", r"Student|/vit/|blocks_plain|blocks_adapt"),
+        ("keypoints+nms", r"keypoint|fast_nn|nms|filter_and_match"),
+        ("losses", r"loss|cost_kl|pairwise|ap_|kl_|depth_diff"),
+        ("optimizer", r"adam|optax|clip_by|update"),
+    ]
+    by_seg = collections.defaultdict(lambda: [0.0, 0.0])
+    for e in [e for es in tracks.values() for e in es]:
+        s = max(e["_self"][0], 0.0) / 1e3
+        scope = str(e.get("args", {}).get("op_name", "") or
+                    e.get("args", {}).get("long_name", "") or e["name"])
+        for seg, pat in segs:
+            if re.search(pat, scope, re.IGNORECASE):
+                by_seg[seg][0] += s
+                by_seg[seg][1] += float(
+                    e.get("args", {}).get("bytes_accessed", 0) or 0)
+                break
+        else:
+            by_seg["(other)"][0] += s
+            by_seg["(other)"][1] += float(
+                e.get("args", {}).get("bytes_accessed", 0) or 0)
+    print("\nby model segment (scope-matched self time):")
+    print(f"{'ms/step':>8} {'%':>5} {'GB/s':>6}  segment")
+    for seg, (t, b) in sorted(by_seg.items(), key=lambda x: -x[1][0]):
+        gbps = b / 1e9 / (t / 1e3) if t else 0.0
+        print(f"{t / k:8.2f} {t / total * 100:5.1f} {gbps:6.0f}  {seg}")
+    # one sample scope so the segment regexes can be re-derived if the
+    # metadata format changes
+    for e in [e for es in tracks.values() for e in es][:200]:
+        nm = str(e.get("args", {}).get("op_name", ""))
+        if "/" in nm:
+            print(f"\nsample op_name scope: {nm[:160]}")
+            break
+
 
 if __name__ == "__main__":
     main()
