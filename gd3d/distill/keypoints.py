@@ -22,6 +22,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from gd3d.ops.basic import kth_smallest
+
 
 def blockwise_argmax_dot(
     queries: jnp.ndarray, db: jnp.ndarray, block: int = 8192
@@ -171,8 +173,10 @@ def filter_and_match_keypoints(
     conf1 = feats["conf_1"].reshape(-1)
     conf2 = feats["conf_2"].reshape(-1)
     q = int(conf1.shape[0] * min_conf_percent * 0.01)
-    th1 = jnp.sort(conf1)[q]
-    th2 = jnp.sort(conf2)[q]
+    # exact sorted[q] via bisection select — the full 336x512 sorts were
+    # ~4 ms/step of the flagship trace (gd3d/ops/basic.py::kth_smallest)
+    th1 = kth_smallest(conf1, q)
+    th2 = kth_smallest(conf2, q)
     ok1 = conf1[xy1] >= th1
     ok2 = conf2[xy2] >= th2
     valid = valid & (ok1 | ok2)  # union semantics (:456)

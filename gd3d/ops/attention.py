@@ -49,6 +49,58 @@ def _pad_target(n: int) -> int:
     return min(to512, to768)
 
 
+# Measured pad/tiling plans (scripts/probe_pad_block.py, v5e, round 5):
+# real length -> (pad, fwd (bq, bk_major, bk), bwd (bqM, bq, bkM, bk)).
+# Any 128-multiple is a legal pad, not just 512/768-multiples — the
+# flagship student's 1025 tokens (512^2 / patch 16 + cls) pad to 1536
+# under the 512/768 rule (2.25x the useful QK/PV FLOPs) when 1152 =
+# 384x3 tiles legally at +26%. Filled from the sweep; every entry beat
+# the fallback rule on-chip.
+_TILE_PLANS: dict = {
+    # flagship student self-attn (B=2, H=12, D=64 fwd+bwd, 36-layer scan):
+    # 1.24 ms/layer vs 1.69 at the old pad1536/768-blocks (-27%)
+    1025: (1152, (1152, 1152, 384), (1152, 384, 1152, 384)),
+    # MASt3R teacher encoder/decoder tokens (336x512 / patch 16; frozen ->
+    # the bwd tuple never runs in the bench, kept legal): fwd inner 256
+    # measured 2.34 vs 2.63 ms/layer (B=4, H=16, fwd-only). The student
+    # COST pass is 673 (cls token) and keeps the fallback 768-inner,
+    # which wins for fwd+bwd at this pad.
+    672: (768, (768, 768, 256), (768, 768, 768, 768)),
+    # VGGT aggregator frame attention (1369 patches + camera + 4 register;
+    # frozen, fwd-only): single 1408-block, 1.31 vs 1.57 ms/layer (-17%)
+    1374: (1408, (1408, 1408, 1408), (1408, 128, 1408, 128)),
+    # VGGT aggregator global attention, S=2 frames (2 x 1374): whole-row
+    # KV major + 1408 blocks, 1.73 vs 2.15 ms/layer (-20%)
+    2748: (2816, (1408, 2816, 1408), (1408, 128, 1408, 128)),
+}
+
+
+def _fallback_plan(n: int):
+    """Fallback when no measured plan exists: 512/768 pad + the largest
+    measured-good major (1536-majors with 768-inner beat 768-majors by
+    9.5% at N=4608 fwd+bwd — fewer grid steps and half the fused-bwd
+    dq_partial traffic)."""
+    pad = _pad_target(n)
+    if pad % 1536 == 0:
+        major = 1536
+    elif pad % 768 == 0:
+        major = 768
+    else:
+        major = min(512, pad)
+    inner = 768 if major % 768 == 0 else major
+    return pad, (major, major, inner), (major, inner, major, inner)
+
+
+def _tile_plan(n: int, m: int):
+    """(pad_n, pad_m, fwd_blocks, bwd_blocks) for a q-len n / kv-len m."""
+    if n == m and n in _TILE_PLANS:
+        return (_TILE_PLANS[n][0], _TILE_PLANS[n][0], _TILE_PLANS[n][1],
+                _TILE_PLANS[n][2])
+    pad_n, (bq, _, _), (bqM, bq_i, _, _) = _fallback_plan(n)
+    pad_m, (_, bkM, bk), (_, _, bkM_b, bk_b) = _fallback_plan(m)
+    return pad_n, pad_m, (bq, bkM, bk), (bqM, bq_i, bkM_b, bk_b)
+
+
 _DI_PATCHED = False
 
 
@@ -113,9 +165,10 @@ import functools
 from gd3d.parallel.pallas_partition import batch_partition
 
 
-def _make_flash_cp(impl, rank_by_arg, out_ranks, rule, need_repl):
+def _make_flash_cp(impl, rank_by_arg, out_ranks, rule, need_repl,
+                   n_static=3):
     return batch_partition(impl, rank_by_arg, out_ranks, rule, need_repl,
-                           n_static=3)
+                           n_static=n_static)
 
 
 def _seg(qs, kvs):
@@ -124,20 +177,22 @@ def _seg(qs, kvs):
     return SegmentIds(q=qs, kv=kvs)
 
 
-def _flash_call(save_residuals, q, k, v, segment_ids, scale, bq, bk):
+def _flash_call(save_residuals, q, k, v, segment_ids, scale, fwd_blocks):
     import jax.experimental.pallas.ops.tpu.flash_attention as fa
 
+    bq, bk_major, bk = fwd_blocks
     return fa._flash_attention_impl(
         q, k, v, None, segment_ids, save_residuals, False, scale,
-        1, bq, bk, bk, False)
+        1, bq, bk_major, bk, False)
 
 
-def _bwd_call(q, k, v, segment_ids, l, m, do, di, scale, bq, bk):
+def _bwd_call(q, k, v, segment_ids, l, m, do, di, scale, bwd_blocks):
     from gd3d.kernels.flash_bwd_fused import flash_attention_bwd_fused
 
+    bqM, bq, bkM, bk = bwd_blocks
     return flash_attention_bwd_fused(
         q, k, v, segment_ids, l, m, do, di,
-        block_q_major=bq, block_q=bq, block_k_major=bk, block_k=bk,
+        block_q_major=bqM, block_q=bq, block_k_major=bkM, block_k=bk,
         sm_scale=scale)
 
 
@@ -150,64 +205,69 @@ _LMDODI = "b h n, b h n, b h n e, b h n"
 _NR = ("n", "d", "m", "e")
 
 _FWD_NOSEG = _make_flash_cp(
-    lambda q, k, v, scale, bq, bk:
-        _flash_call(False, q, k, v, None, scale, bq, bk),
-    (2, 2, 2), (2,), f"{_QKV} -> b h n e", _NR)
+    lambda q, k, v, scale, fwd_blocks:
+        _flash_call(False, q, k, v, None, scale, fwd_blocks),
+    (2, 2, 2), (2,), f"{_QKV} -> b h n e", _NR, n_static=2)
 _FWD_SEG = _make_flash_cp(
-    lambda q, k, v, qs, kvs, scale, bq, bk:
-        _flash_call(False, q, k, v, _seg(qs, kvs), scale, bq, bk),
-    (2, 2, 2, 1, 1), (2,), f"{_QKV}, b n, b m -> b h n e", _NR)
+    lambda q, k, v, qs, kvs, scale, fwd_blocks:
+        _flash_call(False, q, k, v, _seg(qs, kvs), scale, fwd_blocks),
+    (2, 2, 2, 1, 1), (2,), f"{_QKV}, b n, b m -> b h n e", _NR, n_static=2)
 _FWDRES_NOSEG = _make_flash_cp(
-    lambda q, k, v, scale, bq, bk:
-        _flash_call(True, q, k, v, None, scale, bq, bk),
-    (2, 2, 2), (2, 2, 2), f"{_QKV} -> {_RES}", _NR)
+    lambda q, k, v, scale, fwd_blocks:
+        _flash_call(True, q, k, v, None, scale, fwd_blocks),
+    (2, 2, 2), (2, 2, 2), f"{_QKV} -> {_RES}", _NR, n_static=2)
 _FWDRES_SEG = _make_flash_cp(
-    lambda q, k, v, qs, kvs, scale, bq, bk:
-        _flash_call(True, q, k, v, _seg(qs, kvs), scale, bq, bk),
-    (2, 2, 2, 1, 1), (2, 2, 2), f"{_QKV}, b n, b m -> {_RES}", _NR)
+    lambda q, k, v, qs, kvs, scale, fwd_blocks:
+        _flash_call(True, q, k, v, _seg(qs, kvs), scale, fwd_blocks),
+    (2, 2, 2, 1, 1), (2, 2, 2), f"{_QKV}, b n, b m -> {_RES}", _NR,
+    n_static=2)
 _BWD_NOSEG = _make_flash_cp(
-    lambda q, k, v, l, m, do, di, scale, bq, bk:
-        _bwd_call(q, k, v, None, l, m, do, di, scale, bq, bk),
+    lambda q, k, v, l, m, do, di, scale, bwd_blocks:
+        _bwd_call(q, k, v, None, l, m, do, di, scale, bwd_blocks),
     (2, 2, 2, 2, 2, 2, 2), (2, 2, 2),
-    f"{_QKV}, {_LMDODI} -> {_GRADS}", _NR)
+    f"{_QKV}, {_LMDODI} -> {_GRADS}", _NR, n_static=2)
 _BWD_SEG = _make_flash_cp(
-    lambda q, k, v, qs, kvs, l, m, do, di, scale, bq, bk:
-        _bwd_call(q, k, v, _seg(qs, kvs), l, m, do, di, scale, bq, bk),
+    lambda q, k, v, qs, kvs, l, m, do, di, scale, bwd_blocks:
+        _bwd_call(q, k, v, _seg(qs, kvs), l, m, do, di, scale, bwd_blocks),
     (2, 2, 2, 1, 1, 2, 2, 2, 2), (2, 2, 2),
-    f"{_QKV}, b n, b m, {_LMDODI} -> {_GRADS}", _NR)
+    f"{_QKV}, b n, b m, {_LMDODI} -> {_GRADS}", _NR, n_static=2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused_bwd_flash(q, k, v, segment_ids, scale, bq, bk):
+def _fused_bwd_flash(q, k, v, segment_ids, scale, fwd_blocks, bwd_blocks):
     """Flash attention with the gd3d ONE-PASS backward (dq+dk+dv fused;
     gd3d/kernels/flash_bwd_fused.py). Forward is the stock pallas kernel;
     the backward drops 2 of the stock split-backward's 7 tile-matmuls
     (the dq pass's P/dP recompute) — measured on the flagship step where
-    the split backward was 21% of total time. q/k/v are (B, H, N, D).
-    Both directions are custom_partitioning-wrapped (batch/head-parallel)
-    so the DP x TP multichip program partitions them per-shard."""
+    the split backward was 21% of total time. q/k/v are (B, H, N, D);
+    fwd_blocks = (bq, bk_major, bk), bwd_blocks = (bqM, bq, bkM, bk) from
+    _tile_plan. Both directions are custom_partitioning-wrapped
+    (batch/head-parallel) so the DP x TP multichip program partitions
+    them per-shard."""
     if segment_ids is None:
-        return _FWD_NOSEG(q, k, v, scale, bq, bk)
-    return _FWD_SEG(q, k, v, segment_ids.q, segment_ids.kv, scale, bq, bk)
+        return _FWD_NOSEG(q, k, v, scale, fwd_blocks)
+    return _FWD_SEG(q, k, v, segment_ids.q, segment_ids.kv, scale,
+                    fwd_blocks)
 
 
-def _fused_bwd_flash_fwd(q, k, v, segment_ids, scale, bq, bk):
+def _fused_bwd_flash_fwd(q, k, v, segment_ids, scale, fwd_blocks,
+                         bwd_blocks):
     if segment_ids is None:
-        o, l, m = _FWDRES_NOSEG(q, k, v, scale, bq, bk)
+        o, l, m = _FWDRES_NOSEG(q, k, v, scale, fwd_blocks)
     else:
         o, l, m = _FWDRES_SEG(q, k, v, segment_ids.q, segment_ids.kv,
-                              scale, bq, bk)
+                              scale, fwd_blocks)
     return o, (q, k, v, segment_ids, o, l, m)
 
 
-def _fused_bwd_flash_bwd(scale, bq, bk, residuals, do):
+def _fused_bwd_flash_bwd(scale, fwd_blocks, bwd_blocks, residuals, do):
     q, k, v, segment_ids, o, l, m = residuals
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     if segment_ids is None:
-        dq, dk, dv = _BWD_NOSEG(q, k, v, l, m, do, di, scale, bq, bk)
+        dq, dk, dv = _BWD_NOSEG(q, k, v, l, m, do, di, scale, bwd_blocks)
     else:
         dq, dk, dv = _BWD_SEG(q, k, v, segment_ids.q, segment_ids.kv,
-                              l, m, do, di, scale, bq, bk)
+                              l, m, do, di, scale, bwd_blocks)
     return dq, dk, dv, None
 
 
@@ -225,8 +285,9 @@ def _flash_sdpa(q, k, v, scale):
 
     B, N, H, D = q.shape
     M = k.shape[1]
-    pad_n = _pad_target(N) - N
-    pad_m = _pad_target(M) - M
+    padded_n, padded_m, fwd_blocks, bwd_blocks = _tile_plan(N, M)
+    pad_n = padded_n - N
+    pad_m = padded_m - M
 
     qt = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, N, D)
     kt = jnp.transpose(k, (0, 2, 1, 3))
@@ -242,13 +303,16 @@ def _flash_sdpa(q, k, v, scale):
             q=jnp.broadcast_to(q_seg, (B, N + pad_n)),
             kv=jnp.broadcast_to(kv_seg, (B, M + pad_m)),
         )
-    bq = min(_pick_block(N + pad_n), N + pad_n)
-    bk = min(_pick_block(M + pad_m), M + pad_m)
+    clamp = lambda blocks, ns: tuple(min(b, n) for b, n in zip(blocks, ns))
+    fwd_blocks = clamp(fwd_blocks, (padded_n, padded_m, padded_m))
+    bwd_blocks = clamp(bwd_blocks, (padded_n, padded_n, padded_m, padded_m))
     import os
 
     if os.environ.get("GD3D_FLASH_FUSED_BWD", "1") != "0":
-        out = _fused_bwd_flash(qt, kt, vt, segment_ids, scale, bq, bk)
+        out = _fused_bwd_flash(qt, kt, vt, segment_ids, scale, fwd_blocks,
+                               bwd_blocks)
     else:
+        bq, bk = fwd_blocks[0], fwd_blocks[2]
         block_sizes = BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bk,

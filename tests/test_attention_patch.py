@@ -96,3 +96,29 @@ def test_fused_bwd_kernel_matches_einsum_interpret():
                                rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_want),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_tile_plan_invariants():
+    """Every plan (measured table + fallback rule) must tile legally:
+    pads are 128-multiples >= the real length, fwd/bwd majors divide the
+    pad, inners divide their major, and nothing exceeds the pad."""
+    from gd3d.ops.attention import _TILE_PLANS, _tile_plan
+
+    lengths = sorted({1, 8, 64, 200, 672, 673, 1024, 1025, 1370, 1374,
+                      2748, 4161, 6656, *(_TILE_PLANS.keys())})
+    for n in lengths:
+        for m in lengths:
+            pad_n, pad_m, (bq, bkM, bk), (bqM, bq_i, bkM_b, bk_b) = (
+                _tile_plan(n, m))
+            assert pad_n >= n and pad_m >= m
+            assert pad_n % 128 == 0 and pad_m % 128 == 0
+            # clamp exactly as _flash_sdpa does before the kernel call
+            bq, bkM, bk = min(bq, pad_n), min(bkM, pad_m), min(bk, pad_m)
+            bqM, bq_i = min(bqM, pad_n), min(bq_i, pad_n)
+            bkM_b, bk_b = min(bkM_b, pad_m), min(bk_b, pad_m)
+            assert pad_n % bq == 0, (n, m, bq)
+            assert pad_m % bkM == 0 and bkM % bk == 0, (n, m, bkM, bk)
+            assert pad_n % bqM == 0 and bqM % bq_i == 0, (n, m, bqM, bq_i)
+            assert pad_m % bkM_b == 0 and bkM_b % bk_b == 0
+            for b in (bq, bkM, bk, bqM, bq_i, bkM_b, bk_b):
+                assert b % 128 == 0 or b == pad_n or b == pad_m, (n, m, b)

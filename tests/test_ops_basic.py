@@ -29,3 +29,45 @@ def test_l2_normalize():
     # zero vector stays finite
     z = np.asarray(l2_normalize(jnp.zeros((3,)), axis=-1))
     assert np.all(np.isfinite(z))
+
+
+def test_kth_smallest_matches_sort():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gd3d.ops.basic import kth_smallest
+
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randn(1000).astype(np.float32),              # mixed signs
+        np.abs(rng.randn(172032)).astype(np.float32),    # conf-map scale
+        rng.randint(0, 5, 513).astype(np.float32),       # heavy ties
+        np.concatenate([np.zeros(7, np.float32) - 0.0,
+                        np.zeros(9, np.float32),
+                        rng.randn(100).astype(np.float32)]),
+        np.float32([3.0]),
+    ]
+    for x in cases:
+        srt = np.sort(x)
+        for k in {kk for kk in (0, 1, len(x) // 10, len(x) // 2,
+                                len(x) - 1) if kk < len(x)}:
+            got = np.asarray(jax.jit(kth_smallest, static_argnums=())(
+                jnp.asarray(x), k))
+            assert got == srt[k], (len(x), k, got, srt[k])
+
+
+def test_kth_smallest_no_grad_and_traced_k():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gd3d.ops.basic import kth_smallest
+
+    x = jnp.asarray(np.random.RandomState(1).randn(64), jnp.float32)
+    g = jax.grad(lambda v: kth_smallest(v, 10).sum())(x)
+    assert float(jnp.abs(g).sum()) == 0.0
+    ks = jnp.arange(3)
+    vals = jax.vmap(lambda k: kth_smallest(x, k))(ks)
+    want = jnp.sort(x)[:3]
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(want))

@@ -76,6 +76,12 @@ def _install_stubs():
         ToTensor=_Identity,
         Normalize=_Identity,
     )
+    # PEP 562 fallback: any other transform class (ColorJitter, ...) other
+    # reference modules pull at import time resolves to the no-op — this
+    # stub is installed process-wide and must not starve later tests
+    # (test_stereo_views' crop test imports dust3r.datasets, whose
+    # __init__ builds a ColorJitter at import)
+    tv.transforms.__getattr__ = lambda name: _Identity
     _mod("kornia")
     _mod("kornia.filters")
     _mod("kornia.morphology")
